@@ -1,0 +1,187 @@
+"""Typed configuration tree for the whole framework.
+
+Replaces the reference's three-tier config (gflags + ROS param server +
+hard-coded defaults, src/dpg_slam/parameters.h:14-558) with one frozen
+dataclass tree. Every knob keeps the reference's name (modulo snake_case)
+and default so an A/B parity run needs no translation table.
+
+Reference default provenance (parameters.h):
+  icp_maximum_iterations        :146   transformation epsilon      :159
+  max correspondence dist       :173   ransac iterations           :191
+  reciprocal correspondences    :201   loop-closure radii          :212,:224
+  keyframe gates                :242,:254   pass prior sigmas      :264-274
+  motion model coeffs           :279-309    laser extrinsics       :319-339
+  laser variances               :374-396    icp downsample ratio   :402
+  num sectors :44   pose chain len :57   change threshold :67
+  coverage threshold :72   grid resolution :77   min active sectors :82
+  submap radius :87   display fraction :22
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanParams:
+    """Fixed-shape scan geometry (replaces per-message fields of
+    sensor_msgs/LaserScan consumed at dpg_slam_main.cc:172-185).
+
+    The TPU design requires static shapes: one scan is a fixed
+    ``(num_beams,)`` range vector; shorter scans are padded and masked.
+    """
+
+    num_beams: int = 1024
+    angle_min: float = -2.35619449  # -3π/4, typical Hokuyo FOV
+    angle_max: float = 2.35619449
+    range_min: float = 0.02
+    range_max: float = 10.0
+
+    @property
+    def angle_increment(self) -> float:
+        # Matches reference: (angle_max - angle_min) / (n - 1), dpg_slam.cc:497.
+        return (self.angle_max - self.angle_min) / (self.num_beams - 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphParams:
+    """Pose-graph frontend/backend tunables (parameters.h:105-407)."""
+
+    # ICP (consumed at dpg_slam.cc:408-412)
+    icp_maximum_iterations: int = 60
+    # NOTE: reference default is 500 PCL iterations (parameters.h:146) but
+    # with an odometry seed PCL converges in far fewer; we run a fixed
+    # unrolled count with convergence masking. Parity mode can raise this.
+    icp_maximum_transformation_epsilon: float = 5e-9
+    icp_max_correspondence_distance: float = 0.6
+    ransac_iterations: int = 50          # kept for config parity; see ops.icp
+    icp_use_reciprocal_correspondences: bool = True
+    downsample_icp_points_ratio: int = 5  # keep 1 in 5 points (parameters.h:402)
+    icp_point_to_line: bool = True        # TPU design: point-to-line ICP
+    icp_max_points: int = 256             # padded per-cloud point budget after downsample
+
+    # Loop closure search (dpg_slam.cc:278-281)
+    maximum_node_dist_within_pass_scan_comparison: float = 5.0
+    maximum_node_dist_across_passes_scan_comparison: float = 2.0
+    max_loop_closures_per_node: int = 8   # TPU design: fixed candidate budget
+
+    # Keyframe gating (dpg_slam.cc:577-589)
+    min_dist_between_nodes: float = 1.0
+    min_angle_between_nodes: float = math.pi / 6.0
+
+    # Per-pass origin prior sigmas (dpg_slam.cc:178-183)
+    new_pass_x_std_dev: float = 0.2
+    new_pass_y_std_dev: float = 0.2
+    new_pass_theta_std_dev: float = 0.15
+
+    # Motion model (dpg_slam.cc:227-231)
+    motion_model_transl_error_from_transl: float = 0.4
+    motion_model_transl_error_from_rot: float = 0.4
+    motion_model_rot_error_from_transl: float = 0.4
+    motion_model_rot_error_from_rot: float = 0.4
+
+    # Laser extrinsics: pose of laser in base_link (parameters.h:319-339)
+    laser_x_in_bl_frame: float = 0.2
+    laser_y_in_bl_frame: float = 0.0
+    laser_orientation_rel_bl_frame: float = 0.0
+
+    # Constraint toggles (parameters.h:349-364)
+    non_successive_scan_constraints: bool = True
+    odometry_constraints: bool = True
+
+    # Observation (ICP) covariance. The reference's Censi-style Hessian
+    # computation is dead code and a fixed diagonal is returned
+    # (cov_func_point_to_point.h:560-575). We implement the real
+    # closed-form covariance but keep the fixed mode for A/B parity.
+    laser_x_variance: float = 0.5
+    laser_y_variance: float = 0.5
+    laser_theta_variance: float = 0.3
+    use_fixed_icp_covariance: bool = True  # parity default; False → Censi closed form
+
+    # Solver (replaces GTSAM iSAM2, dpg_slam.cc:316-329)
+    gtsam_max_iterations: int = 100       # kept for parity (parameters.h:235)
+    gn_max_iterations: int = 20
+    gn_damping_init: float = 1e-4
+    gn_tol: float = 1e-8
+
+
+@dataclasses.dataclass(frozen=True)
+class DpgParams:
+    """Dynamic-pose-graph tunables (parameters.h:33-88)."""
+
+    num_sectors: int = 5
+    current_pose_chain_len: int = 5
+    num_bins_for_change_detection: int = 72
+    # NOTE: the reference reads this rosparam with NO default and uses it
+    # uninitialized (parameters.h:62, dpg_slam.cc:785). We pick 72 bins
+    # (5 deg at 360 FOV) as a sane default.
+    delta_change_threshold: float = 0.20
+    current_pose_graph_coverage_threshold: float = 1.0
+    occ_grid_resolution: float = 0.05
+    minimum_percent_active_sectors: float = 0.5
+    distance_threshold_for_local_submap_nodes: float = 5.0
+    # TPU design knobs (dense windowed grids replace hash maps):
+    grid_extent_cells: int = 1024         # (H, W) of the change-detection window
+    replicate_int_bin_ratio: bool = False
+    # True reproduces reference bug dpg_slam.cc:823 (integer division makes
+    # the bin-change ratio 0 until all bins changed — commits almost never).
+
+
+@dataclasses.dataclass(frozen=True)
+class VisualizationParams:
+    """Map-export thinning (parameters.h:14-28)."""
+
+    display_points_fraction: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityParams:
+    """Static array capacities — the TPU answer to dynamic graph growth.
+
+    The reference grows std::vectors per node (dpg_slam.cc:194-195);
+    under jit all shapes are static, so the engine preallocates these and
+    tracks live counts as scalars. Exceeding a capacity raises on the host.
+    """
+
+    max_nodes: int = 512
+    max_edges: int = 4096
+    max_priors: int = 16   # one per pass (dpg_slam.cc:176-183)
+    max_passes: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class DpgConfig:
+    """Root config."""
+
+    scan: ScanParams = dataclasses.field(default_factory=ScanParams)
+    pose_graph: PoseGraphParams = dataclasses.field(default_factory=PoseGraphParams)
+    dpg: DpgParams = dataclasses.field(default_factory=DpgParams)
+    viz: VisualizationParams = dataclasses.field(default_factory=VisualizationParams)
+    capacity: CapacityParams = dataclasses.field(default_factory=CapacityParams)
+
+    # --- serialization -------------------------------------------------
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "DpgConfig":
+        return cls(
+            scan=ScanParams(**d.get("scan", {})),
+            pose_graph=PoseGraphParams(**d.get("pose_graph", {})),
+            dpg=DpgParams(**d.get("dpg", {})),
+            viz=VisualizationParams(**d.get("viz", {})),
+            capacity=CapacityParams(**d.get("capacity", {})),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "DpgConfig":
+        return cls.from_dict(json.loads(s))
+
+    def replace(self, **kwargs) -> "DpgConfig":
+        return dataclasses.replace(self, **kwargs)
