@@ -1,0 +1,412 @@
+"""SE(2) pose-graph optimization as batched array programs.
+
+Replaces the reference's GTSAM usage — NonlinearFactorGraph of
+PriorFactor<Pose2>/BetweenFactor<Pose2> solved by iSAM2
+(dpg_slam.cc:21-22,49,73,183,237,316-338) — with fixed-capacity factor
+arrays and a damped Gauss-Newton (Levenberg-Marquardt) solver.
+
+The reference's iSAM2 usage re-adds every factor on every update
+(graph_ is never cleared; SURVEY.md §3.6.2), silently over-weighting old
+constraints — i.e. its *effective* behavior is closer to a repeated batch
+solve than to true incremental smoothing. We therefore implement honest
+batch GN/LM over the full graph (the semantics the reference intended),
+re-run per keyframe. On TPU a full batched solve of a few-thousand-node
+graph is cheaper than the reference's single iSAM2 update.
+
+Design:
+  * A FactorGraph is a pytree of fixed-capacity arrays + live-count masks,
+    so the whole solve jits with static shapes while the graph grows online.
+  * Residuals/Jacobians for all factors are evaluated in one vectorized
+    sweep (no per-factor objects).
+  * Normal equations: block-sparse scatter into an (N, 3, 3) diagonal +
+    per-edge off-diagonal blocks. Two solve paths:
+      - dense Cholesky on the assembled (3N, 3N) system (fast to ~1k nodes)
+      - preconditioned CG with edge-gather matvecs (O(E) memory, scales)
+  * LM damping with accept/reject steps inside a lax.scan (masked, fixed
+    iteration count — compiler-friendly control flow).
+
+Noise models: factors carry sqrt-information matrices (3, 3); diagonal
+sigmas from the reference's noise models (dpg_slam.cc:45-48,69-70,233-234)
+become diag(1/sigma).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dpg_slam_tpu import geom
+
+__all__ = [
+    "FactorGraph",
+    "empty_graph",
+    "add_prior",
+    "add_between",
+    "residuals",
+    "total_error",
+    "solve",
+    "SolveStats",
+]
+
+
+class FactorGraph(NamedTuple):
+    """Fixed-capacity factor arrays (a jax pytree).
+
+    Node poses live *outside* the graph (the engine owns them); the graph
+    holds only factors. Capacities are static; ``num_priors``/``num_edges``
+    are traced scalars; slots >= count are masked out.
+    """
+
+    # Priors (PriorFactor<Pose2> analog)
+    prior_idx: jnp.ndarray        # (P,) int32 node index
+    prior_val: jnp.ndarray        # (P, 3) prior pose
+    prior_sqrt_info: jnp.ndarray  # (P, 3, 3) whitening matrix
+    num_priors: jnp.ndarray       # () int32
+
+    # Between factors (BetweenFactor<Pose2> analog)
+    edge_idx: jnp.ndarray         # (E, 2) int32 [from, to]
+    edge_meas: jnp.ndarray        # (E, 3) measured relative pose (to in from's frame)
+    edge_sqrt_info: jnp.ndarray   # (E, 3, 3)
+    num_edges: jnp.ndarray        # () int32
+
+    @property
+    def prior_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.prior_idx.shape[0]) < self.num_priors
+
+    @property
+    def edge_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.edge_idx.shape[0]) < self.num_edges
+
+
+class SolveStats(NamedTuple):
+    initial_error: jnp.ndarray   # ()
+    final_error: jnp.ndarray     # ()
+    iterations: jnp.ndarray      # () accepted LM steps
+
+
+def empty_graph(max_priors: int, max_edges: int) -> FactorGraph:
+    return FactorGraph(
+        prior_idx=jnp.zeros((max_priors,), jnp.int32),
+        prior_val=jnp.zeros((max_priors, 3), jnp.float32),
+        prior_sqrt_info=jnp.zeros((max_priors, 3, 3), jnp.float32),
+        num_priors=jnp.zeros((), jnp.int32),
+        edge_idx=jnp.zeros((max_edges, 2), jnp.int32),
+        edge_meas=jnp.zeros((max_edges, 3), jnp.float32),
+        edge_sqrt_info=jnp.zeros((max_edges, 3, 3), jnp.float32),
+        num_edges=jnp.zeros((), jnp.int32),
+    )
+
+
+def sqrt_info_from_sigmas(sigmas: jnp.ndarray) -> jnp.ndarray:
+    """Diagonal sqrt-information from per-axis standard deviations
+    (noiseModel::Diagonal::Sigmas analog)."""
+    return jnp.diag(1.0 / sigmas) if sigmas.ndim == 1 else jax.vmap(jnp.diag)(1.0 / sigmas)
+
+
+def sqrt_info_from_covariance(cov: jnp.ndarray) -> jnp.ndarray:
+    """Whitening matrix R with R^T R = cov^-1 (noiseModel::Gaussian::
+    Covariance analog, dpg_slam.cc:335). Uses inverse-of-Cholesky."""
+    L = jnp.linalg.cholesky(cov)
+    eye = jnp.eye(3, dtype=cov.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return Linv  # (Linv)^T Linv? note: cov^-1 = L^-T L^-1; R = L^-1 works: R^T R = L^-T L^-1.
+
+
+def add_prior(
+    g: FactorGraph, node: jnp.ndarray, value: jnp.ndarray, sqrt_info: jnp.ndarray
+) -> FactorGraph:
+    """Append a prior factor (traced-index scatter; capacity must not be
+    exceeded — the engine checks counts on the host)."""
+    i = g.num_priors
+    return g._replace(
+        prior_idx=g.prior_idx.at[i].set(node.astype(jnp.int32)),
+        prior_val=g.prior_val.at[i].set(value),
+        prior_sqrt_info=g.prior_sqrt_info.at[i].set(sqrt_info),
+        num_priors=g.num_priors + 1,
+    )
+
+
+def add_between(
+    g: FactorGraph,
+    from_node: jnp.ndarray,
+    to_node: jnp.ndarray,
+    meas: jnp.ndarray,
+    sqrt_info: jnp.ndarray,
+    valid: jnp.ndarray | bool = True,
+) -> FactorGraph:
+    """Append a between factor. With ``valid=False`` the slot is not
+    consumed (enables fixed-shape conditional insertion of loop closures)."""
+    i = g.num_edges
+    valid = jnp.asarray(valid)
+    new_idx = g.edge_idx.at[i].set(
+        jnp.stack([from_node, to_node]).astype(jnp.int32)
+    )
+    new_meas = g.edge_meas.at[i].set(meas)
+    new_info = g.edge_sqrt_info.at[i].set(sqrt_info)
+    return g._replace(
+        edge_idx=jnp.where(valid, new_idx, g.edge_idx),
+        edge_meas=jnp.where(valid, new_meas, g.edge_meas),
+        edge_sqrt_info=jnp.where(valid, new_info, g.edge_sqrt_info),
+        num_edges=g.num_edges + valid.astype(jnp.int32),
+    )
+
+
+# --------------------------------------------------------------------------
+# Residuals and Jacobians
+# --------------------------------------------------------------------------
+
+def _between_residual_jac(poses: jnp.ndarray, g: FactorGraph):
+    """Vectorized residual + analytic Jacobians for all between factors.
+
+    Residual: r = pred - meas with pred = between(x_i, x_j) (the relative
+    pose of j in i's frame), angle wrapped — the Pose2 BetweenFactor error
+    up to the tangent-space chart.
+
+    Returns (r, Ji, Jj): (E, 3), (E, 3, 3), (E, 3, 3) — whitened.
+    """
+    xi = poses[g.edge_idx[:, 0]]  # (E, 3)
+    xj = poses[g.edge_idx[:, 1]]
+    c = jnp.cos(xi[:, 2])
+    s = jnp.sin(xi[:, 2])
+    dx = xj[:, 0] - xi[:, 0]
+    dy = xj[:, 1] - xi[:, 1]
+    # pred_xy = R(-theta_i) [dx, dy]
+    px = c * dx + s * dy
+    py = -s * dx + c * dy
+    pth = geom.wrap_angle(xj[:, 2] - xi[:, 2])
+    pred = jnp.stack([px, py, pth], axis=-1)
+    r = pred - g.edge_meas
+    r = r.at[:, 2].set(geom.wrap_angle(r[:, 2]))
+
+    zeros = jnp.zeros_like(c)
+    ones = jnp.ones_like(c)
+    # d pred_xy / d xi_xy = -R(-theta_i); d pred_xy / d theta_i = dR(-th)/dth d
+    Ji = jnp.stack(
+        [
+            jnp.stack([-c, -s, -s * dx + c * dy], axis=-1),
+            jnp.stack([s, -c, -c * dx - s * dy], axis=-1),
+            jnp.stack([zeros, zeros, -ones], axis=-1),
+        ],
+        axis=-2,
+    )  # (E, 3, 3)
+    Jj = jnp.stack(
+        [
+            jnp.stack([c, s, zeros], axis=-1),
+            jnp.stack([-s, c, zeros], axis=-1),
+            jnp.stack([zeros, zeros, ones], axis=-1),
+        ],
+        axis=-2,
+    )
+    W = g.edge_sqrt_info  # (E, 3, 3)
+    return (
+        jnp.einsum("eab,eb->ea", W, r),
+        jnp.einsum("eab,ebc->eac", W, Ji),
+        jnp.einsum("eab,ebc->eac", W, Jj),
+    )
+
+
+def _prior_residual_jac(poses: jnp.ndarray, g: FactorGraph):
+    """Whitened residual + Jacobian for priors: r = x - prior (θ wrapped)."""
+    x = poses[g.prior_idx]
+    r = x - g.prior_val
+    r = r.at[:, 2].set(geom.wrap_angle(r[:, 2]))
+    W = g.prior_sqrt_info
+    J = jnp.broadcast_to(jnp.eye(3, dtype=poses.dtype), W.shape)
+    return jnp.einsum("pab,pb->pa", W, r), jnp.einsum("pab,pbc->pac", W, J)
+
+
+def residuals(poses: jnp.ndarray, g: FactorGraph) -> jnp.ndarray:
+    """All whitened residuals stacked: (P*3 + E*3,) with masked slots zero."""
+    pr, _ = _prior_residual_jac(poses, g)
+    er, _, _ = _between_residual_jac(poses, g)
+    pr = jnp.where(g.prior_mask[:, None], pr, 0.0)
+    er = jnp.where(g.edge_mask[:, None], er, 0.0)
+    return jnp.concatenate([pr.reshape(-1), er.reshape(-1)])
+
+
+def total_error(poses: jnp.ndarray, g: FactorGraph) -> jnp.ndarray:
+    """0.5 * sum of squared whitened residuals (GTSAM graph.error analog)."""
+    r = residuals(poses, g)
+    return 0.5 * jnp.sum(r * r)
+
+
+# --------------------------------------------------------------------------
+# Normal equations
+# --------------------------------------------------------------------------
+
+class _NormalEq(NamedTuple):
+    diag: jnp.ndarray      # (N, 3, 3) diagonal blocks of H
+    off: jnp.ndarray       # (E, 3, 3) off-diagonal block for (i, j) per edge
+    rhs: jnp.ndarray       # (N, 3) gradient  (g = J^T r)
+
+
+def _assemble(poses: jnp.ndarray, g: FactorGraph, node_mask: jnp.ndarray) -> _NormalEq:
+    N = poses.shape[0]
+    pr, pJ = _prior_residual_jac(poses, g)
+    er, Ji, Jj = _between_residual_jac(poses, g)
+
+    pm = g.prior_mask.astype(poses.dtype)
+    em = g.edge_mask.astype(poses.dtype)
+    pJ = pJ * pm[:, None, None]
+    pr = pr * pm[:, None]
+    Ji = Ji * em[:, None, None]
+    Jj = Jj * em[:, None, None]
+    er = er * em[:, None]
+
+    diag = jnp.zeros((N, 3, 3), poses.dtype)
+    rhs = jnp.zeros((N, 3), poses.dtype)
+
+    # Priors
+    diag = diag.at[g.prior_idx].add(jnp.einsum("pba,pbc->pac", pJ, pJ))
+    rhs = rhs.at[g.prior_idx].add(jnp.einsum("pba,pb->pa", pJ, pr))
+
+    # Edges
+    i_idx = g.edge_idx[:, 0]
+    j_idx = g.edge_idx[:, 1]
+    diag = diag.at[i_idx].add(jnp.einsum("eba,ebc->eac", Ji, Ji))
+    diag = diag.at[j_idx].add(jnp.einsum("eba,ebc->eac", Jj, Jj))
+    off = jnp.einsum("eba,ebc->eac", Ji, Jj)  # H_ij block
+    rhs = rhs.at[i_idx].add(jnp.einsum("eba,eb->ea", Ji, er))
+    rhs = rhs.at[j_idx].add(jnp.einsum("eba,eb->ea", Jj, er))
+
+    # Inactive node slots: identity diagonal, zero gradient -> zero update.
+    eye = jnp.eye(3, dtype=poses.dtype)
+    diag = jnp.where(node_mask[:, None, None], diag, eye[None])
+    rhs = jnp.where(node_mask[:, None], rhs, 0.0)
+    return _NormalEq(diag, off, rhs)
+
+
+def _matvec(eq: _NormalEq, g: FactorGraph, v: jnp.ndarray) -> jnp.ndarray:
+    """H v with H given in block form — O(E) gather/scatter, no dense H."""
+    out = jnp.einsum("nab,nb->na", eq.diag, v)
+    i_idx = g.edge_idx[:, 0]
+    j_idx = g.edge_idx[:, 1]
+    em = g.edge_mask.astype(v.dtype)[:, None]
+    vj = v[j_idx]
+    vi = v[i_idx]
+    out = out.at[i_idx].add(em * jnp.einsum("eab,eb->ea", eq.off, vj))
+    out = out.at[j_idx].add(em * jnp.einsum("eba,eb->ea", eq.off, vi))
+    return out
+
+
+def _dense_solve(eq: _NormalEq, g: FactorGraph, damping: jnp.ndarray) -> jnp.ndarray:
+    """Assemble (3N, 3N) and Cholesky-solve. Fine to ~1k nodes."""
+    N = eq.diag.shape[0]
+    H = jnp.zeros((N, N, 3, 3), eq.diag.dtype)
+    H = H.at[jnp.arange(N), jnp.arange(N)].set(eq.diag)
+    i_idx = g.edge_idx[:, 0]
+    j_idx = g.edge_idx[:, 1]
+    em = g.edge_mask.astype(eq.diag.dtype)[:, None, None]
+    H = H.at[i_idx, j_idx].add(em * eq.off)
+    H = H.at[j_idx, i_idx].add(em * jnp.swapaxes(eq.off, -1, -2))
+    Hf = H.transpose(0, 2, 1, 3).reshape(3 * N, 3 * N)
+    Hf = Hf + damping * jnp.eye(3 * N, dtype=Hf.dtype)
+    rhs = eq.rhs.reshape(3 * N)
+    L, low = jax.scipy.linalg.cho_factor(Hf)
+    delta = jax.scipy.linalg.cho_solve((L, low), rhs)
+    return delta.reshape(N, 3)
+
+
+def _cg_solve(
+    eq: _NormalEq,
+    g: FactorGraph,
+    damping: jnp.ndarray,
+    iters: int,
+) -> jnp.ndarray:
+    """Block-Jacobi preconditioned CG on the block-sparse normal equations.
+
+    O(E) per matvec; this is also the single-chip form of the distributed
+    solver (parallel/ shards the same matvec over a mesh).
+    """
+    eye = jnp.eye(3, dtype=eq.diag.dtype)
+    diag_d = eq.diag + damping * eye[None]
+    eqd = _NormalEq(diag_d, eq.off, eq.rhs)
+    Minv = jnp.linalg.inv(diag_d)  # block-Jacobi preconditioner
+
+    def mv(v):
+        return _matvec(eqd, g, v)
+
+    def precond(v):
+        return jnp.einsum("nab,nb->na", Minv, v)
+
+    b = eq.rhs
+    x = jnp.zeros_like(b)
+    r = b - mv(x)
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(carry, _):
+        x, r, p, rz = carry
+        Ap = mv(p)
+        denom = jnp.sum(p * Ap)
+        alpha = jnp.where(denom > 1e-20, rz / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz > 1e-20, rz_new / rz, 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rz), None, length=iters)
+    return x
+
+
+# --------------------------------------------------------------------------
+# LM driver
+# --------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "method", "cg_iterations")
+)
+def solve(
+    poses: jnp.ndarray,
+    g: FactorGraph,
+    node_mask: jnp.ndarray,
+    *,
+    max_iterations: int = 20,
+    damping_init: float = 1e-4,
+    method: str = "dense",
+    cg_iterations: int = 64,
+) -> tuple[jnp.ndarray, SolveStats]:
+    """Levenberg-Marquardt over the pose graph.
+
+    Replaces isam_->update + calculateEstimate (dpg_slam.cc:316-329) with a
+    batch solve. Fixed iteration count with accept/reject damping inside a
+    lax.scan: rejected steps raise damping and leave poses unchanged.
+
+    Args:
+      poses: (N, 3) initial estimates (capacity-sized; masked slots ignored).
+      g: factor graph.
+      node_mask: (N,) bool — live nodes.
+      method: "dense" (Cholesky) or "cg" (block-sparse PCG).
+
+    Returns:
+      (optimized poses, SolveStats).
+    """
+    err0 = total_error(poses, g)
+
+    def step(carry, _):
+        poses, damping, err, accepted = carry
+        eq = _assemble(poses, g, node_mask)
+        if method == "dense":
+            delta = _dense_solve(eq, g, damping)
+        else:
+            delta = _cg_solve(eq, g, damping, cg_iterations)
+        new_poses = poses - delta
+        new_poses = new_poses.at[:, 2].set(geom.wrap_angle(new_poses[:, 2]))
+        new_err = total_error(new_poses, g)
+        accept = new_err < err
+        poses = jnp.where(accept, new_poses, poses)
+        err = jnp.where(accept, new_err, err)
+        damping = jnp.where(accept, damping * 0.5, damping * 4.0)
+        damping = jnp.clip(damping, 1e-9, 1e6)
+        return (poses, damping, err, accepted + accept.astype(jnp.int32)), None
+
+    init = (poses, jnp.asarray(damping_init, poses.dtype), err0, jnp.zeros((), jnp.int32))
+    (poses, _, err, accepted), _ = jax.lax.scan(step, init, None, length=max_iterations)
+    return poses, SolveStats(initial_error=err0, final_error=err, iterations=accepted)

@@ -1,0 +1,391 @@
+"""Batched 2D ICP with closed-form covariance — the TPU replacement for
+PCL IterativeClosestPoint + the vendored icp_cov covariance.
+
+Reference behavior being replaced (cited for parity checks):
+  - pcl::IterativeClosestPoint::align with odometry seed, max-correspondence
+    gating, reciprocal correspondences      (dpg_slam.cc:387-416)
+  - per-pair serial execution of every successive-scan and loop-closure
+    alignment                               (dpg_slam.cc:262-304, :41-108)
+  - calculate_ICP_COV, whose 540-line Hessian is dead code and which
+    actually returns diag(laser_x_var, laser_y_var, laser_theta_var)
+    (src/icp_cov/cov_func_point_to_point.h:560-575)
+
+TPU-first design
+----------------
+Everything is batched over a leading pair axis B and fixed-shape:
+
+  * Correspondence search is a (B, P, P) squared-distance matrix computed
+    as ``|s|^2 + |t|^2 - 2 s·t^T`` — the cross term is a batched matmul
+    that tiles onto the MXU. P = config icp_max_points (default 256, a
+    multiple of the 128 lane width).
+  * Each iteration fixes correspondences and takes one damped Gauss-Newton
+    step on the 3-dof pose, accumulating a 3x3 normal system per pair on
+    the VPU. Point-to-line (scan normals) or point-to-point residuals.
+  * The iteration loop is a ``lax.scan`` with per-pair convergence masks:
+    converged pairs stop moving but stay in the batch (no dynamic shapes).
+  * Invalid/padded points, out-of-gate pairs, and non-reciprocal matches
+    are handled with weights, never with compaction.
+
+Covariance: either the reference's fixed diagonal (parity mode, default),
+or the Gauss-Newton estimate ``2 sigma_z^2 H^-1`` from the final normal
+system — the usable core of the Censi closed form the reference left dead.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dpg_slam_tpu import geom
+from dpg_slam_tpu.config import PoseGraphParams
+
+__all__ = ["ICPResult", "estimate_normals", "icp_align", "icp_align_single"]
+
+_BIG = 1e12
+
+
+class ICPResult(NamedTuple):
+    """Batched ICP outputs.
+
+    transform: (B, 3) pose of the source frame in the target frame (the
+      BetweenFactor measurement, matching runIcp's output convention at
+      dpg_slam.cc:433-439).
+    converged: (B,) bool — alignment accepted (enough matches + fitness).
+    num_correspondences: (B,) int32 matched pairs in the final iteration.
+    fitness: (B,) float32 mean squared correspondence distance (PCL
+      getFitnessScore analog, dpg_slam.cc:443).
+    covariance: (B, 3, 3) observation covariance for the factor.
+    """
+
+    transform: jnp.ndarray
+    converged: jnp.ndarray
+    num_correspondences: jnp.ndarray
+    fitness: jnp.ndarray
+    covariance: jnp.ndarray
+
+
+def estimate_normals(points: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-point 2D normals from scan neighbor structure.
+
+    For an ordered lidar scan, the local surface tangent at point i is
+    approximated by p[i+1] - p[i-1]; the normal is its perpendicular.
+    Points whose neighbors are invalid fall back to the radial direction
+    (still a usable projection direction for point-to-line residuals).
+
+    Args:
+      points: (..., P, 2) ordered scan points.
+      mask: (..., P) validity.
+
+    Returns:
+      (..., P, 2) unit normals (zeros where the point itself is invalid).
+    """
+    nxt = jnp.roll(points, -1, axis=-2)
+    prv = jnp.roll(points, 1, axis=-2)
+    nxt_ok = jnp.roll(mask, -1, axis=-1)
+    prv_ok = jnp.roll(mask, 1, axis=-1)
+
+    # Tangent: two-sided where both neighbors valid, one-sided otherwise.
+    both = nxt_ok & prv_ok
+    tangent = jnp.where(
+        both[..., None],
+        nxt - prv,
+        jnp.where(
+            nxt_ok[..., None],
+            nxt - points,
+            jnp.where(prv_ok[..., None], points - prv, points),
+        ),
+    )
+    normal = jnp.stack([-tangent[..., 1], tangent[..., 0]], axis=-1)
+    norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    # Degenerate (no valid neighbors): radial fallback = normalized point.
+    radial = points / jnp.maximum(jnp.linalg.norm(points, axis=-1, keepdims=True), 1e-6)
+    unit = jnp.where(norm > 1e-6, normal / jnp.maximum(norm, 1e-6), radial)
+    return jnp.where(mask[..., None], unit, 0.0)
+
+
+def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(B, P, 2), (B, Q, 2) -> (B, P, Q) squared distances.
+
+    The cross term is the only O(P*Q) compute; expressed as a batched
+    matmul so XLA places it on the MXU.
+    """
+    cross = jnp.einsum("bpc,bqc->bpq", a, b, preferred_element_type=jnp.float32)
+    a2 = jnp.sum(a * a, axis=-1)[:, :, None]
+    b2 = jnp.sum(b * b, axis=-1)[:, None, :]
+    return a2 + b2 - 2.0 * cross
+
+
+class _IterState(NamedTuple):
+    transform: jnp.ndarray     # (B, 3)
+    active: jnp.ndarray        # (B,) still iterating
+    hessian: jnp.ndarray       # (B, 3, 3) last normal-equation matrix
+    num_corr: jnp.ndarray      # (B,)
+    fitness: jnp.ndarray       # (B,)
+
+
+def _icp_iteration(
+    state: _IterState,
+    src: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    tgt_normals: jnp.ndarray,
+    *,
+    max_corr_sq: float,
+    reciprocal: bool,
+    point_to_line: bool,
+    epsilon: float,
+    damping: float,
+) -> _IterState:
+    B, P, _ = src.shape
+    moved = geom.apply(state.transform[:, None, :], src)  # (B, P, 2)
+
+    d2 = _pairwise_sqdist(moved, tgt)  # (B, P, Pt)
+    # Invalidate padded rows/cols.
+    d2 = jnp.where(src_mask[:, :, None], d2, _BIG)
+    d2 = jnp.where(tgt_mask[:, None, :], d2, _BIG)
+
+    nn_idx = jnp.argmin(d2, axis=-1)                     # (B, P) target index
+    nn_d2 = jnp.min(d2, axis=-1)                          # (B, P)
+
+    w = src_mask & (nn_d2 <= max_corr_sq)
+    if reciprocal:
+        # Mutual nearest neighbors: src i -> tgt j is kept only if tgt j's
+        # nearest source is i (PCL setUseReciprocalCorrespondences,
+        # dpg_slam.cc:412).
+        rev_idx = jnp.argmin(d2, axis=-2)                 # (B, Pt) source index
+        back = jnp.take_along_axis(rev_idx, nn_idx, axis=-1)  # (B, P)
+        w = w & (back == jnp.arange(P)[None, :])
+
+    wf = w.astype(jnp.float32)
+    q = jnp.take_along_axis(tgt, nn_idx[..., None], axis=-2)          # (B, P, 2)
+    n = jnp.take_along_axis(tgt_normals, nn_idx[..., None], axis=-2)  # (B, P, 2)
+
+    err = moved - q  # (B, P, 2)
+
+    # Rotation derivative applied to source points: d(R p)/dθ = [-(Rp)_y, (Rp)_x]
+    rp = moved - state.transform[:, None, 0:2]
+    drot = jnp.stack([-rp[..., 1], rp[..., 0]], axis=-1)  # (B, P, 2)
+
+    if point_to_line:
+        # Residual r = n·(moved - q); Jacobian row J = [n_x, n_y, n·drot].
+        r = jnp.sum(n * err, axis=-1)                                  # (B, P)
+        J = jnp.concatenate(
+            [n, jnp.sum(n * drot, axis=-1, keepdims=True)], axis=-1
+        )                                                              # (B, P, 3)
+        H = jnp.einsum("bpi,bpj->bij", J * wf[..., None], J)
+        g = jnp.einsum("bpi,bp->bi", J * wf[..., None], r)
+    else:
+        # Two residual rows per point: r = moved - q,
+        # J_x = [1, 0, drot_x], J_y = [0, 1, drot_y].
+        ones = jnp.broadcast_to(wf, (B, P))
+        Hxx = jnp.sum(ones, axis=-1)
+        Hxt = jnp.sum(wf * drot[..., 0], axis=-1)
+        Hyt = jnp.sum(wf * drot[..., 1], axis=-1)
+        Htt = jnp.sum(wf * jnp.sum(drot * drot, axis=-1), axis=-1)
+        zero = jnp.zeros_like(Hxx)
+        H = jnp.stack(
+            [
+                jnp.stack([Hxx, zero, Hxt], axis=-1),
+                jnp.stack([zero, Hxx, Hyt], axis=-1),
+                jnp.stack([Hxt, Hyt, Htt], axis=-1),
+            ],
+            axis=-2,
+        )
+        gx = jnp.sum(wf * err[..., 0], axis=-1)
+        gy = jnp.sum(wf * err[..., 1], axis=-1)
+        gt = jnp.sum(wf * jnp.sum(drot * err, axis=-1), axis=-1)
+        g = jnp.stack([gx, gy, gt], axis=-1)
+
+    num_corr = jnp.sum(w, axis=-1).astype(jnp.int32)
+    fitness = jnp.sum(wf * nn_d2, axis=-1) / jnp.maximum(
+        num_corr.astype(jnp.float32), 1.0
+    )
+
+    # Damped solve; guard rank deficiency (too few correspondences).
+    eye = jnp.eye(3, dtype=H.dtype)
+    Hd = H + damping * eye[None]
+    solvable = num_corr >= 3
+    delta = jnp.linalg.solve(
+        jnp.where(solvable[:, None, None], Hd, eye[None]), g[..., None]
+    )[..., 0]
+    delta = jnp.where(solvable[:, None], delta, 0.0)
+
+    step = jnp.where(state.active[:, None], -delta, 0.0)
+    new_t = state.transform + step
+    new_t = new_t.at[:, 2].set(geom.wrap_angle(new_t[:, 2]))
+
+    still = state.active & (jnp.sum(step * step, axis=-1) > epsilon)
+    return _IterState(new_t, still, Hd, num_corr, fitness)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iterations",
+        "max_correspondence_distance",
+        "reciprocal",
+        "point_to_line",
+        "epsilon",
+        "fixed_covariance",
+        "sigmas",
+        "sensor_noise_std",
+        "min_correspondences",
+        "fitness_threshold",
+    ),
+)
+def _icp_align_impl(
+    src: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    tgt_normals: jnp.ndarray,
+    init_guess: jnp.ndarray,
+    *,
+    max_iterations: int,
+    max_correspondence_distance: float,
+    reciprocal: bool,
+    point_to_line: bool,
+    epsilon: float,
+    fixed_covariance: bool,
+    sigmas: tuple[float, float, float],
+    sensor_noise_std: float,
+    min_correspondences: int,
+    fitness_threshold: float,
+) -> ICPResult:
+    B = src.shape[0]
+    state = _IterState(
+        transform=init_guess,
+        active=jnp.ones((B,), dtype=bool),
+        hessian=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+        num_corr=jnp.zeros((B,), dtype=jnp.int32),
+        fitness=jnp.full((B,), jnp.inf, dtype=jnp.float32),
+    )
+
+    def body(state, _):
+        state = _icp_iteration(
+            state,
+            src,
+            src_mask,
+            tgt,
+            tgt_mask,
+            tgt_normals,
+            max_corr_sq=max_correspondence_distance**2,
+            reciprocal=reciprocal,
+            point_to_line=point_to_line,
+            epsilon=epsilon,
+            damping=1e-6,
+        )
+        return state, None
+
+    state, _ = jax.lax.scan(body, state, None, length=max_iterations)
+
+    converged = (state.num_corr >= min_correspondences) & (
+        state.fitness <= fitness_threshold
+    )
+
+    if fixed_covariance:
+        # Reference parity: calculate_ICP_COV's actual output is a constant
+        # diagonal (cov_func_point_to_point.h:572-575).
+        cov = jnp.broadcast_to(jnp.diag(jnp.array(sigmas, dtype=jnp.float32)), (B, 3, 3))
+    else:
+        # Gauss-Newton covariance from the final normal system:
+        # cov = 2 sigma_z^2 H^-1 — the usable core of the Censi closed form.
+        eye = jnp.eye(3, dtype=state.hessian.dtype)
+        safe_H = jnp.where(converged[:, None, None], state.hessian, eye[None])
+        cov = 2.0 * (sensor_noise_std**2) * jnp.linalg.inv(safe_H)
+        fallback = jnp.diag(jnp.array(sigmas, dtype=jnp.float32))
+        cov = jnp.where(converged[:, None, None], cov, fallback[None])
+
+    return ICPResult(
+        transform=state.transform,
+        converged=converged,
+        num_correspondences=state.num_corr,
+        fitness=state.fitness,
+        covariance=cov,
+    )
+
+
+def icp_align(
+    src: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    init_guess: jnp.ndarray,
+    params: PoseGraphParams,
+    tgt_normals: jnp.ndarray | None = None,
+    min_correspondences: int = 10,
+    fitness_threshold: float = 0.25,
+    sensor_noise_std: float = 0.02,
+) -> ICPResult:
+    """Align a batch of source clouds onto target clouds.
+
+    Args:
+      src: (B, P, 2) source points (the newer node's scan in its own frame —
+        PCL setInputSource, dpg_slam.cc:404).
+      src_mask: (B, P) bool validity (padding + max-range masking).
+      tgt: (B, P, 2) target points (the older node's scan — setInputTarget).
+      tgt_mask: (B, P) bool.
+      init_guess: (B, 3) initial pose of src frame in tgt frame (the odometry
+        seed, dpg_slam.cc:364-378).
+      params: pose-graph config (ICP section).
+      tgt_normals: optional precomputed (B, P, 2) target normals; computed
+        from scan ordering when omitted.
+      min_correspondences / fitness_threshold: acceptance gate standing in
+        for PCL hasConverged + RANSAC outlier rejection — a deliberate,
+        documented deviation (the reference accepts nearly everything;
+        SURVEY.md §3.6).
+      sensor_noise_std: per-point noise used by the GN covariance mode.
+
+    Returns:
+      ICPResult with (B, ...) leaves.
+    """
+    if tgt_normals is None:
+        tgt_normals = estimate_normals(tgt, tgt_mask)
+    return _icp_align_impl(
+        src,
+        src_mask,
+        tgt,
+        tgt_mask,
+        tgt_normals,
+        init_guess,
+        max_iterations=params.icp_maximum_iterations,
+        max_correspondence_distance=params.icp_max_correspondence_distance,
+        reciprocal=params.icp_use_reciprocal_correspondences,
+        point_to_line=params.icp_point_to_line,
+        epsilon=params.icp_maximum_transformation_epsilon,
+        fixed_covariance=params.use_fixed_icp_covariance,
+        sigmas=(
+            params.laser_x_variance,
+            params.laser_y_variance,
+            params.laser_theta_variance,
+        ),
+        sensor_noise_std=sensor_noise_std,
+        min_correspondences=min_correspondences,
+        fitness_threshold=fitness_threshold,
+    )
+
+
+def icp_align_single(
+    src: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    init_guess: jnp.ndarray,
+    params: PoseGraphParams,
+    **kwargs,
+) -> ICPResult:
+    """Single-pair convenience wrapper (adds/removes the batch axis)."""
+    res = icp_align(
+        src[None],
+        src_mask[None],
+        tgt[None],
+        tgt_mask[None],
+        init_guess[None],
+        params,
+        **kwargs,
+    )
+    return ICPResult(*[leaf[0] for leaf in res])
