@@ -62,11 +62,28 @@ class PoseGraphParams:
     downsample_icp_points_ratio: int = 5  # keep 1 in 5 points (parameters.h:402)
     icp_point_to_line: bool = True        # TPU design: point-to-line ICP
     icp_max_points: int = 256             # padded per-cloud point budget after downsample
+    icp_coarse_gate_multiplier: float = 3.0
+    # Coarse-to-fine correspondence gating: iterations start with
+    # multiplier * icp_max_correspondence_distance and anneal to 1x over
+    # the first 2/3 of iterations, letting ICP recover from seed errors
+    # larger than the fine gate (drifted loop-closure seeds). 1.0 disables.
+    icp_min_overlap: float = 0.5
+    # Acceptance gate: fraction of valid source points that found a gated,
+    # (reciprocal) correspondence. Low-overlap pairs (distant nodes seeing
+    # mostly different geometry) produce biased ICP optima; the reference's
+    # 5.0 m within-pass closure radius generates many such pairs and PCL
+    # accepts them — a documented robustness deviation.
 
     # Loop closure search (dpg_slam.cc:278-281)
     maximum_node_dist_within_pass_scan_comparison: float = 5.0
     maximum_node_dist_across_passes_scan_comparison: float = 2.0
     max_loop_closures_per_node: int = 8   # TPU design: fixed candidate budget
+    min_loop_closure_node_gap: int = 10
+    # Same-pass closures only against nodes at least this many keyframes
+    # back. The reference closes against every node j < i-1 in radius
+    # (dpg_slam.cc:275), so chain-adjacent pairs get redundant "closures"
+    # that carry full perceptual-aliasing risk and no new information.
+    # Cross-pass candidates are exempt (any gap).
 
     # Keyframe gating (dpg_slam.cc:577-589)
     min_dist_between_nodes: float = 1.0
@@ -99,13 +116,24 @@ class PoseGraphParams:
     laser_x_variance: float = 0.5
     laser_y_variance: float = 0.5
     laser_theta_variance: float = 0.3
-    use_fixed_icp_covariance: bool = True  # parity default; False → Censi closed form
+    use_fixed_icp_covariance: bool = False
+    # False (default) = closed-form GN/Censi covariance from the final ICP
+    # normal system — the BASELINE.json north-star behavior. It makes
+    # partially-overlapping loop closures self-downweight along their
+    # unconstrained (wall-sliding) directions. True = reference parity:
+    # the constant diagonal the reference actually returns
+    # (cov_func_point_to_point.h:572-575).
+    icp_sensor_noise_std: float = 0.02  # per-point noise for the GN covariance
 
     # Solver (replaces GTSAM iSAM2, dpg_slam.cc:316-329)
     gtsam_max_iterations: int = 100       # kept for parity (parameters.h:235)
     gn_max_iterations: int = 20
     gn_damping_init: float = 1e-4
     gn_tol: float = 1e-8
+    robust_delta: float | None = 2.0
+    # Huber threshold on whitened between-factor residuals (None = pure
+    # quadratic, the reference/GTSAM behavior). Wrong-basin loop closures
+    # then contribute linearly instead of dragging the trajectory.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -147,7 +175,7 @@ class CapacityParams:
     """
 
     max_nodes: int = 512
-    max_edges: int = 4096
+    max_edges: int = 8192  # >= max_nodes * (2 + max_loop_closures_per_node)
     max_priors: int = 16   # one per pass (dpg_slam.cc:176-183)
     max_passes: int = 16
 

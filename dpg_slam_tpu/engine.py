@@ -1,0 +1,666 @@
+"""Online SLAM session engine — the TPU-native DpgSLAM.
+
+Replaces the reference's DpgSLAM class (src/dpg_slam/dpg_slam.{h,cc}) and its
+ROS callback plumbing (dpg_slam_main.cc) with a host-side driver object
+owning a pytree of fixed-capacity device arrays and three jitted programs:
+
+  _keyframe_step   — node creation + batched ICP (successive + top-K loop
+                     closures in ONE call, replacing the serial loop at
+                     dpg_slam.cc:262-304) + batch GN/LM solve (replacing
+                     isam_->update at dpg_slam.cc:316-329).
+  _reoptimize      — pass-boundary global re-alignment: every successive
+                     pair and every in-radius loop-closure pair re-ICP'd as
+                     chunked batches, graph rebuilt, solved (replaces the
+                     serial O(N^2) loop at dpg_slam.cc:35-120).
+  dpg.execute_dpg  — change detection (separate module).
+
+Design decisions vs the reference (documented deviations):
+  * Loop closures are evaluated for the NEW node, not the preceding one
+    (fixes reference quirk SURVEY.md §3.6.8 where closures lag a keyframe).
+  * The graph is solved as an honest batch each keyframe; the reference
+    re-adds all factors to iSAM2 every update (SURVEY.md §3.6.2), which is
+    effectively a repeated batch solve with factor over-weighting.
+  * Loop-closure candidates are capped at the K nearest (fixed shapes);
+    K = PoseGraphParams.max_loop_closures_per_node.
+  * Non-converged successive ICP still contributes its factor (matching
+    dpg_slam.cc:264-267); non-converged closures are dropped (matching
+    dpg_slam.cc:295).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpg_slam_tpu import geom, scan
+from dpg_slam_tpu.config import DpgConfig
+from dpg_slam_tpu.graph import factor_graph as fg
+from dpg_slam_tpu.ops import icp
+
+__all__ = ["SlamState", "DpgSlamEngine"]
+
+
+class SlamState(NamedTuple):
+    """All engine state as one pytree of fixed-capacity arrays."""
+
+    # --- node store (capacity N = config.capacity.max_nodes) ---
+    poses: jnp.ndarray          # (N, 3) current pose estimates
+    odom_poses: jnp.ndarray     # (N, 3) raw odometry pose at node creation
+    pass_ids: jnp.ndarray       # (N,) int32
+    node_active: jnp.ndarray    # (N,) bool  (DpgNode::is_active_)
+    ranges: jnp.ndarray         # (N, B) float32 raw scans
+    labels: jnp.ndarray         # (N, B) int8 point labels
+    sector_active: jnp.ndarray  # (N, S) bool
+    cloud: jnp.ndarray          # (N, P, 2) downsampled base_link clouds (ICP)
+    cloud_mask: jnp.ndarray     # (N, P) bool
+    cloud_normals: jnp.ndarray  # (N, P, 2)
+    num_nodes: jnp.ndarray      # () int32
+
+    # --- factor graph ---
+    graph: fg.FactorGraph
+
+    # --- odometry tracking (dpg_slam.h state, dpg_slam.cc:515-553) ---
+    prev_odom: jnp.ndarray            # (3,)
+    odom_at_last_node: jnp.ndarray    # (3,)
+    cumulative_dist: jnp.ndarray      # ()
+    odom_initialized: jnp.ndarray     # () bool
+    first_scan_for_pass: jnp.ndarray  # () bool
+    pass_number: jnp.ndarray          # () int32
+
+    @property
+    def node_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.poses.shape[0]) < self.num_nodes
+
+
+def _init_state(cfg: DpgConfig) -> SlamState:
+    N = cfg.capacity.max_nodes
+    B = cfg.scan.num_beams
+    S = cfg.dpg.num_sectors
+    P = cfg.pose_graph.icp_max_points
+    return SlamState(
+        poses=jnp.zeros((N, 3), jnp.float32),
+        odom_poses=jnp.zeros((N, 3), jnp.float32),
+        pass_ids=jnp.zeros((N,), jnp.int32),
+        node_active=jnp.zeros((N,), bool),
+        ranges=jnp.zeros((N, B), jnp.float32),
+        labels=jnp.full((N, B), scan.MAX_RANGE, jnp.int8),
+        sector_active=jnp.zeros((N, S), bool),
+        cloud=jnp.zeros((N, P, 2), jnp.float32),
+        cloud_mask=jnp.zeros((N, P), bool),
+        cloud_normals=jnp.zeros((N, P, 2), jnp.float32),
+        num_nodes=jnp.zeros((), jnp.int32),
+        graph=fg.empty_graph(cfg.capacity.max_priors, cfg.capacity.max_edges),
+        prev_odom=jnp.zeros((3,), jnp.float32),
+        odom_at_last_node=jnp.zeros((3,), jnp.float32),
+        cumulative_dist=jnp.zeros(()),
+        odom_initialized=jnp.zeros((), bool),
+        first_scan_for_pass=jnp.ones((), bool),
+        pass_number=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure jitted programs (config closed over via static hashing of DpgConfig)
+# ---------------------------------------------------------------------------
+
+def _laser_pose_in_bl(cfg: DpgConfig) -> jnp.ndarray:
+    pg = cfg.pose_graph
+    return jnp.array(
+        [pg.laser_x_in_bl_frame, pg.laser_y_in_bl_frame, pg.laser_orientation_rel_bl_frame],
+        jnp.float32,
+    )
+
+
+def _prepare_cloud(cfg: DpgConfig, ranges: jnp.ndarray):
+    """Scan -> downsampled base_link cloud + mask + normals (replaces
+    getCachedPointCloudFromNode + downsamplePointCloud)."""
+    labels = scan.initial_labels(ranges, cfg.scan)
+    pts_bl = scan.points_in_base_link(ranges, cfg.scan, _laser_pose_in_bl(cfg))
+    pts, mask = scan.downsample(
+        pts_bl,
+        scan.valid_mask(labels),
+        cfg.pose_graph.downsample_icp_points_ratio,
+        cfg.pose_graph.icp_max_points,
+    )
+    normals = icp.estimate_normals(pts, mask)
+    return labels, pts, mask, normals
+
+
+def _write_node(cfg: DpgConfig, state: SlamState, ranges, est_pose) -> SlamState:
+    """Scatter a new node into the arrays (createNode, dpg_slam.cc:488-513)."""
+    i = state.num_nodes
+    labels, pts, mask, normals = _prepare_cloud(cfg, ranges)
+    return state._replace(
+        poses=state.poses.at[i].set(est_pose),
+        odom_poses=state.odom_poses.at[i].set(state.prev_odom),
+        pass_ids=state.pass_ids.at[i].set(state.pass_number),
+        node_active=state.node_active.at[i].set(True),
+        ranges=state.ranges.at[i].set(ranges),
+        labels=state.labels.at[i].set(labels),
+        sector_active=state.sector_active.at[i].set(True),
+        cloud=state.cloud.at[i].set(pts),
+        cloud_mask=state.cloud_mask.at[i].set(mask),
+        cloud_normals=state.cloud_normals.at[i].set(normals),
+        num_nodes=state.num_nodes + 1,
+        odom_at_last_node=state.prev_odom,
+        cumulative_dist=jnp.zeros(()),
+    )
+
+
+def _motion_model_sigmas(cfg: DpgConfig, displ: jnp.ndarray) -> jnp.ndarray:
+    """Odometry noise sigmas from the motion model (dpg_slam.cc:227-231)."""
+    pg = cfg.pose_graph
+    d = jnp.linalg.norm(displ[0:2])
+    a = jnp.abs(displ[2])
+    transl = pg.motion_model_transl_error_from_transl * d + pg.motion_model_transl_error_from_rot * a
+    rot = pg.motion_model_rot_error_from_transl * d + pg.motion_model_rot_error_from_rot * a
+    floor = 1e-3  # avoid infinite information on zero-motion edges
+    return jnp.maximum(jnp.stack([transl, transl, rot]), floor)
+
+
+def _icp_batch_for_new_node(
+    cfg: DpgConfig, state: SlamState, new_idx: jnp.ndarray, new_pose: jnp.ndarray
+):
+    """Assemble the (1 + K)-pair ICP batch: successive + top-K loop-closure
+    candidates for the new node (which must already be written to the node
+    arrays); returns (result, tgt_indices, cand_valid)."""
+    pg = cfg.pose_graph
+    K = pg.max_loop_closures_per_node
+    N = state.poses.shape[0]
+    prec_idx = new_idx - 1
+
+    # Candidate selection (replaces the distance loop at dpg_slam.cc:273-304,
+    # evaluated for the NEW node — deviation §3.6.8 fixed).
+    dist = jnp.linalg.norm(state.poses[:, 0:2] - new_pose[0:2], axis=-1)
+    same_pass = state.pass_ids == state.pass_number
+    thr = jnp.where(
+        same_pass,
+        pg.maximum_node_dist_within_pass_scan_comparison,
+        pg.maximum_node_dist_across_passes_scan_comparison,
+    )
+    idx = jnp.arange(N)
+    gap_ok = jnp.where(
+        same_pass, new_idx - idx >= pg.min_loop_closure_node_gap, True
+    )
+    cand_ok = (idx < prec_idx) & (dist <= thr) & gap_ok
+    score = jnp.where(cand_ok, dist, jnp.inf)
+    _, cand_idx = jax.lax.top_k(-score, K)
+    cand_valid = jnp.take(cand_ok, cand_idx)
+
+    tgt_idx = jnp.concatenate([prec_idx[None], cand_idx])          # (1+K,)
+    tgt_valid = jnp.concatenate([jnp.ones((1,), bool), cand_valid])
+
+    src_cloud = jnp.broadcast_to(
+        state.cloud[new_idx][None], (1 + K,) + state.cloud.shape[1:]
+    )
+    src_mask = jnp.broadcast_to(
+        state.cloud_mask[new_idx][None], (1 + K,) + state.cloud_mask.shape[1:]
+    )
+    tgt_cloud = state.cloud[tgt_idx]
+    tgt_mask = state.cloud_mask[tgt_idx] & tgt_valid[:, None]
+    tgt_normals = state.cloud_normals[tgt_idx]
+
+    # Seed: new node pose in each target's frame (dpg_slam.cc:364-378).
+    seeds = geom.between(state.poses[tgt_idx], jnp.broadcast_to(new_pose, (1 + K, 3)))
+
+    # Successive pair (slot 0) is well-seeded: fine gate only. Closure
+    # seeds carry accumulated drift: coarse-to-fine annealing.
+    gate_mult = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.float32),
+            jnp.full((K,), pg.icp_coarse_gate_multiplier, jnp.float32),
+        ]
+    )
+    res = icp.icp_align(
+        src_cloud, src_mask, tgt_cloud, tgt_mask, seeds, pg,
+        tgt_normals=tgt_normals, gate_multiplier=gate_mult,
+    )
+    return res, tgt_idx, tgt_valid
+
+
+def _add_observation_factors(
+    cfg: DpgConfig,
+    graph: fg.FactorGraph,
+    res: icp.ICPResult,
+    tgt_idx: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    new_idx: jnp.ndarray,
+) -> fg.FactorGraph:
+    """Add between-factors from an ICP batch (addObservationConstraint,
+    dpg_slam.cc:331-338). Slot 0 (successive) is added regardless of
+    convergence (dpg_slam.cc:264-267); closures only when converged."""
+    n_pairs = tgt_idx.shape[0]
+    sqrt_infos = jax.vmap(fg.sqrt_info_from_covariance)(res.covariance)
+
+    def body(g, k):
+        keep = jnp.where(k == 0, tgt_valid[k], tgt_valid[k] & res.converged[k])
+        g = fg.add_between(
+            g, tgt_idx[k], new_idx, res.transform[k], sqrt_infos[k], valid=keep
+        )
+        return g, None
+
+    graph, _ = jax.lax.scan(body, graph, jnp.arange(n_pairs))
+    return graph
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "solve_method"))
+def _keyframe_step(
+    cfg: DpgConfig, state: SlamState, ranges: jnp.ndarray, solve_method: str
+) -> SlamState:
+    """Process one accepted keyframe scan (updatePoseGraph +
+    updatePoseGraphObsConstraints + optimizeGraph, dpg_slam.cc:160-329)."""
+    pg = cfg.pose_graph
+    is_first = state.first_scan_for_pass
+    new_idx = state.num_nodes
+
+    # Pose estimate for the new node.
+    odom_displ = geom.between(state.odom_at_last_node, state.prev_odom)
+    prev_pose = jnp.where(
+        new_idx > 0, state.poses[jnp.maximum(new_idx - 1, 0)], jnp.zeros(3)
+    )
+    est_pose = jnp.where(
+        is_first,
+        jnp.zeros(3),  # every pass starts at the origin (dpg_slam.cc:176-183)
+        geom.compose(prev_pose, odom_displ),
+    )
+
+    graph = state.graph
+
+    # Prior for a pass-first node (dpg_slam.cc:178-183) — add only then.
+    prior_sigmas = jnp.array(
+        [pg.new_pass_x_std_dev, pg.new_pass_y_std_dev, pg.new_pass_theta_std_dev],
+        jnp.float32,
+    )
+    prior_si = fg.sqrt_info_from_sigmas(prior_sigmas)
+    graph = fg.FactorGraph(
+        prior_idx=jnp.where(is_first, graph.prior_idx.at[graph.num_priors].set(new_idx), graph.prior_idx),
+        prior_val=jnp.where(is_first, graph.prior_val.at[graph.num_priors].set(jnp.zeros(3)), graph.prior_val),
+        prior_sqrt_info=jnp.where(
+            is_first,
+            graph.prior_sqrt_info.at[graph.num_priors].set(prior_si),
+            graph.prior_sqrt_info,
+        ),
+        num_priors=graph.num_priors + is_first.astype(jnp.int32),
+        edge_idx=graph.edge_idx,
+        edge_meas=graph.edge_meas,
+        edge_sqrt_info=graph.edge_sqrt_info,
+        num_edges=graph.num_edges,
+    )
+
+    # Odometry between-factor (dpg_slam.cc:227-238) — not for pass-first nodes.
+    odo_valid = (~is_first) & jnp.asarray(pg.odometry_constraints)
+    odo_si = fg.sqrt_info_from_sigmas(_motion_model_sigmas(cfg, odom_displ))
+    graph = fg.add_between(
+        graph, new_idx - 1, new_idx, odom_displ, odo_si, valid=odo_valid
+    )
+
+    # Write the node first (the ICP batch reads its cloud), then scan-match:
+    # successive + loop closures in one batched ICP call.
+    state = _write_node(cfg, state, ranges, est_pose)
+    has_pairs = new_idx > 0
+    res, tgt_idx, tgt_valid = _icp_batch_for_new_node(cfg, state, new_idx, est_pose)
+    tgt_valid = tgt_valid & has_pairs
+    if not pg.non_successive_scan_constraints:
+        tgt_valid = tgt_valid & (jnp.arange(tgt_valid.shape[0]) == 0)
+    graph = _add_observation_factors(cfg, graph, res, tgt_idx, tgt_valid, new_idx)
+
+    state = state._replace(graph=graph, first_scan_for_pass=jnp.zeros((), bool))
+
+    poses, _ = fg.solve(
+        state.poses,
+        state.graph,
+        state.node_mask,
+        max_iterations=pg.gn_max_iterations,
+        damping_init=pg.gn_damping_init,
+        method=solve_method,
+        robust_delta=pg.robust_delta,
+    )
+    return state._replace(poses=poses)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _should_process(cfg: DpgConfig, state: SlamState) -> jnp.ndarray:
+    """Keyframe gate (shouldProcessLaser, dpg_slam.cc:577-589); pass-first
+    scans always process (dpg_slam.cc:166-177)."""
+    pg = cfg.pose_graph
+    angle_gate = (
+        geom.angle_dist(state.prev_odom[2], state.odom_at_last_node[2])
+        > pg.min_angle_between_nodes
+    )
+    dist_gate = state.cumulative_dist > pg.min_dist_between_nodes
+    return state.odom_initialized & (
+        state.first_scan_for_pass | dist_gate | angle_gate
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _observe_odometry(cfg: DpgConfig, state: SlamState, odom_pose: jnp.ndarray) -> SlamState:
+    """ObserveOdometry (dpg_slam.cc:515-526)."""
+    moved = jnp.linalg.norm(odom_pose[0:2] - state.prev_odom[0:2])
+    cum = state.cumulative_dist + jnp.where(state.odom_initialized, moved, 0.0)
+    return state._replace(
+        prev_odom=odom_pose,
+        cumulative_dist=cum,
+        odom_initialized=jnp.ones((), bool),
+        # First odom fixes the reference frame for gating.
+        odom_at_last_node=jnp.where(
+            state.odom_initialized, state.odom_at_last_node, odom_pose
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _current_pose(cfg: DpgConfig, state: SlamState) -> jnp.ndarray:
+    """GetPose (dpg_slam.cc:528-553): last node pose composed with the
+    not-yet-incorporated odometry delta."""
+    last = jnp.where(
+        state.num_nodes > 0,
+        state.poses[jnp.maximum(state.num_nodes - 1, 0)],
+        jnp.zeros(3),
+    )
+    delta = geom.between(state.odom_at_last_node, state.prev_odom)
+    return geom.compose(last, delta)
+
+
+# ---------------------------------------------------------------------------
+# Reoptimize (pass boundary)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "solve_method"))
+def _reoptimize(cfg: DpgConfig, state: SlamState, solve_method: str) -> SlamState:
+    """Global re-alignment at a pass boundary (reoptimize, dpg_slam.cc:35-120).
+
+    Rebuilds the graph from scratch: per-pass priors, odometry factors from
+    the stored odometry log, re-run successive ICPs seeded from *optimized*
+    poses, re-run loop-closure search for every node against its top-K
+    in-radius predecessors. All ICP pairs are batched into one call of
+    N*(K+1) fixed-shape pairs, replacing the serial O(N^2) loop that is the
+    reference's most expensive operation (SURVEY.md §3.4).
+    """
+    pg = cfg.pose_graph
+    N = state.poses.shape[0]
+    K = pg.max_loop_closures_per_node
+    node_mask = state.node_mask
+    idx = jnp.arange(N)
+
+    # --- pass-first detection: node i starts a pass if its pass id differs
+    # from node i-1's (dpg_slam.cc:43-50).
+    prev_pass = jnp.concatenate([jnp.full((1,), -1, jnp.int32), state.pass_ids[:-1]])
+    is_pass_first = node_mask & (state.pass_ids != prev_pass)
+
+    # --- priors
+    prior_sigmas = jnp.array(
+        [pg.new_pass_x_std_dev, pg.new_pass_y_std_dev, pg.new_pass_theta_std_dev],
+        jnp.float32,
+    )
+    prior_si = fg.sqrt_info_from_sigmas(prior_sigmas)
+    P = state.graph.prior_idx.shape[0]
+    # Pack pass-first node indices into the fixed prior capacity.
+    ppos = jnp.cumsum(is_pass_first.astype(jnp.int32)) - 1
+    prior_idx = jnp.zeros((P,), jnp.int32)
+    prior_idx = prior_idx.at[jnp.where(is_pass_first, ppos, P)].set(idx, mode="drop")
+    num_priors = jnp.sum(is_pass_first).astype(jnp.int32)
+
+    graph = fg.FactorGraph(
+        prior_idx=prior_idx,
+        prior_val=jnp.zeros((P, 3), jnp.float32),
+        prior_sqrt_info=jnp.broadcast_to(prior_si, (P, 3, 3)),
+        num_priors=num_priors,
+        edge_idx=jnp.zeros_like(state.graph.edge_idx),
+        edge_meas=jnp.zeros_like(state.graph.edge_meas),
+        edge_sqrt_info=jnp.zeros_like(state.graph.edge_sqrt_info),
+        num_edges=jnp.zeros((), jnp.int32),
+    )
+
+    # --- odometry factors between successive same-pass nodes
+    # (dpg_slam.cc:53-75), displacement from the stored odometry log.
+    odom_displ = geom.between(
+        jnp.roll(state.odom_poses, 1, axis=0), state.odom_poses
+    )  # (N, 3): displ[i] = odom motion from node i-1 to i
+    odo_sig = jax.vmap(lambda d: _motion_model_sigmas(cfg, d))(odom_displ)
+    odo_si = jax.vmap(fg.sqrt_info_from_sigmas)(odo_sig)
+    odo_valid = node_mask & (idx > 0) & ~is_pass_first & jnp.asarray(pg.odometry_constraints)
+
+    # --- successive-scan ICP pairs (dpg_slam.cc:83-89): (i-1, i)
+    succ_valid = node_mask & (idx > 0)
+
+    # --- loop-closure candidates per node: top-K nearest j < i-1 in radius
+    # (dpg_slam.cc:91-106).
+    diff = state.poses[:, None, 0:2] - state.poses[None, :, 0:2]
+    dist = jnp.linalg.norm(diff, axis=-1)  # (N, N) — 512^2 floats, tiny
+    same_pass = state.pass_ids[:, None] == state.pass_ids[None, :]
+    thr = jnp.where(
+        same_pass,
+        pg.maximum_node_dist_within_pass_scan_comparison,
+        pg.maximum_node_dist_across_passes_scan_comparison,
+    )
+    gap_ok = jnp.where(
+        same_pass,
+        (idx[:, None] - idx[None, :]) >= pg.min_loop_closure_node_gap,
+        True,
+    )
+    cand_ok = (
+        node_mask[:, None]
+        & node_mask[None, :]
+        & (idx[None, :] < (idx[:, None] - 1))
+        & (dist <= thr)
+        & gap_ok
+    )
+    score = jnp.where(cand_ok, dist, jnp.inf)
+    _, cand_idx = jax.lax.top_k(-score, K)          # (N, K) target j per source i
+    cand_valid = jnp.take_along_axis(cand_ok, cand_idx, axis=1)  # (N, K)
+
+    # --- assemble the full ICP batch: for node i, targets
+    # [i-1, cand_0..K-1]; run in chunks to bound memory.
+    tgt_idx_all = jnp.concatenate(
+        [jnp.maximum(idx - 1, 0)[:, None], cand_idx], axis=1
+    )  # (N, 1+K)
+    pair_valid = jnp.concatenate([succ_valid[:, None], cand_valid], axis=1)
+
+    flat_src = jnp.repeat(idx, 1 + K)                      # (N*(1+K),)
+    flat_tgt = tgt_idx_all.reshape(-1)
+    flat_valid = pair_valid.reshape(-1)
+
+    seeds = geom.between(state.poses[flat_tgt], state.poses[flat_src])
+
+    chunk = 256
+    n_flat = flat_src.shape[0]
+    pad = (-n_flat) % chunk
+    if pad:
+        flat_src = jnp.concatenate([flat_src, jnp.zeros((pad,), flat_src.dtype)])
+        flat_tgt = jnp.concatenate([flat_tgt, jnp.zeros((pad,), flat_tgt.dtype)])
+        flat_valid = jnp.concatenate([flat_valid, jnp.zeros((pad,), bool)])
+        seeds = jnp.concatenate([seeds, jnp.zeros((pad, 3), seeds.dtype)])
+
+    # Successive pairs (slot 0 of each node's 1+K block) are well-seeded;
+    # closures get the coarse-to-fine gate.
+    flat_is_succ = (jnp.arange(flat_src.shape[0]) % (1 + K)) == 0
+    flat_gate = jnp.where(flat_is_succ, 1.0, pg.icp_coarse_gate_multiplier).astype(
+        jnp.float32
+    )
+
+    def run_chunk(c):
+        s = c * chunk
+        src_i = jax.lax.dynamic_slice_in_dim(flat_src, s, chunk)
+        tgt_i = jax.lax.dynamic_slice_in_dim(flat_tgt, s, chunk)
+        val_i = jax.lax.dynamic_slice_in_dim(flat_valid, s, chunk)
+        seed_i = jax.lax.dynamic_slice_in_dim(seeds, s, chunk)
+        gate_i = jax.lax.dynamic_slice_in_dim(flat_gate, s, chunk)
+        res = icp.icp_align(
+            state.cloud[src_i],
+            state.cloud_mask[src_i] & val_i[:, None],
+            state.cloud[tgt_i],
+            state.cloud_mask[tgt_i] & val_i[:, None],
+            seed_i,
+            pg,
+            tgt_normals=state.cloud_normals[tgt_i],
+            gate_multiplier=gate_i,
+        )
+        return res
+
+    n_chunks = flat_src.shape[0] // chunk
+    results = jax.lax.map(run_chunk, jnp.arange(n_chunks))
+    transforms = results.transform.reshape(-1, 3)[:n_flat]
+    converged = results.converged.reshape(-1)[:n_flat]
+    covs = results.covariance.reshape(-1, 3, 3)[:n_flat]
+    flat_src = flat_src[:n_flat]
+    flat_tgt = flat_tgt[:n_flat]
+    flat_valid = flat_valid[:n_flat]
+
+    # --- pack factors into the edge arrays.
+    # Successive pairs keep their factor even when not converged
+    # (dpg_slam.cc:86-89); closures require convergence.
+    is_succ = (jnp.arange(n_flat) % (1 + K)) == 0
+    keep = flat_valid & (is_succ | converged)
+
+    obs_si = jax.vmap(fg.sqrt_info_from_covariance)(covs)
+
+    E = graph.edge_idx.shape[0]
+    # Order: odometry factors first, then observation factors.
+    odo_pos = jnp.cumsum(odo_valid.astype(jnp.int32)) - 1
+    num_odo = jnp.sum(odo_valid).astype(jnp.int32)
+    obs_pos = num_odo + jnp.cumsum(keep.astype(jnp.int32)) - 1
+    num_edges = num_odo + jnp.sum(keep).astype(jnp.int32)
+
+    edge_idx = jnp.zeros((E, 2), jnp.int32)
+    edge_meas = jnp.zeros((E, 3), jnp.float32)
+    edge_si = jnp.zeros((E, 3, 3), jnp.float32)
+
+    odo_slot = jnp.where(odo_valid, odo_pos, E)
+    edge_idx = edge_idx.at[odo_slot].set(
+        jnp.stack([jnp.maximum(idx - 1, 0), idx], axis=1), mode="drop"
+    )
+    edge_meas = edge_meas.at[odo_slot].set(odom_displ, mode="drop")
+    edge_si = edge_si.at[odo_slot].set(odo_si, mode="drop")
+
+    obs_slot = jnp.where(keep, obs_pos, E)
+    edge_idx = edge_idx.at[obs_slot].set(
+        jnp.stack([flat_tgt, flat_src], axis=1), mode="drop"
+    )
+    edge_meas = edge_meas.at[obs_slot].set(transforms, mode="drop")
+    edge_si = edge_si.at[obs_slot].set(obs_si, mode="drop")
+
+    graph = graph._replace(
+        edge_idx=edge_idx, edge_meas=edge_meas, edge_sqrt_info=edge_si,
+        num_edges=num_edges,
+    )
+
+    poses, _ = fg.solve(
+        state.poses,
+        graph,
+        node_mask,
+        max_iterations=pg.gn_max_iterations,
+        damping_init=pg.gn_damping_init,
+        method=solve_method,
+        robust_delta=pg.robust_delta,
+    )
+    return state._replace(poses=poses, graph=graph)
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+class DpgSlamEngine:
+    """Host-side session driver (replaces the ROS node + DpgSLAM object).
+
+    Usage:
+      eng = DpgSlamEngine(DpgConfig())
+      for odom, ranges in dataset:
+          eng.observe_odometry(odom)
+          eng.observe_laser(ranges)
+      eng.increment_pass()   # at session boundaries
+      traj = eng.trajectory()
+    """
+
+    def __init__(self, config: DpgConfig | None = None):
+        self.config = config or DpgConfig()
+        self.state = _init_state(self.config)
+        # Dense Cholesky is faster up to ~1k nodes; CG beyond.
+        self.solve_method = "dense" if self.config.capacity.max_nodes <= 1024 else "cg"
+        self._dpg_enabled = False  # flipped on once dpg.change_detection lands
+
+    # -- observations -----------------------------------------------------
+    def observe_odometry(self, odom_pose) -> None:
+        """Absolute odometry pose [x, y, theta] (OdometryCallback analog)."""
+        self.state = _observe_odometry(
+            self.config, self.state, jnp.asarray(odom_pose, jnp.float32)
+        )
+
+    def observe_laser(self, ranges) -> bool:
+        """One lidar scan; returns True if a keyframe was created
+        (ObserveLaser, dpg_slam.cc:122-140)."""
+        ranges = jnp.asarray(ranges, jnp.float32)
+        if ranges.shape != (self.config.scan.num_beams,):
+            raise ValueError(
+                f"expected ({self.config.scan.num_beams},) ranges, got {ranges.shape}"
+            )
+        if not bool(_should_process(self.config, self.state)):
+            return False
+        if int(self.state.num_nodes) >= self.config.capacity.max_nodes:
+            raise RuntimeError(
+                "node capacity exhausted; raise CapacityParams.max_nodes"
+            )
+        edges_worst_case = 2 + self.config.pose_graph.max_loop_closures_per_node
+        if int(self.state.graph.num_edges) + edges_worst_case > self.config.capacity.max_edges:
+            raise RuntimeError(
+                "edge capacity exhausted; raise CapacityParams.max_edges"
+            )
+        self.state = _keyframe_step(self.config, self.state, ranges, self.solve_method)
+        if self._dpg_enabled and int(self.state.pass_number) >= 1:
+            self._execute_dpg()
+        return True
+
+    def increment_pass(self) -> None:
+        """Session boundary: bump pass counter and globally reoptimize
+        (incrementPassNumber + reoptimize, dpg_slam.cc:25-120)."""
+        self.state = self.state._replace(
+            pass_number=self.state.pass_number + 1,
+            odom_initialized=jnp.zeros((), bool),
+            first_scan_for_pass=jnp.ones((), bool),
+            cumulative_dist=jnp.zeros(()),
+        )
+        if int(self.state.num_nodes) > 1:
+            self.state = _reoptimize(self.config, self.state, self.solve_method)
+
+    def _execute_dpg(self) -> None:
+        from dpg_slam_tpu.dpg import change_detection
+
+        self.state = change_detection.execute_dpg(self.config, self.state)
+
+    # -- queries ----------------------------------------------------------
+    def pose(self) -> np.ndarray:
+        """Current pose estimate incl. un-incorporated odometry (GetPose)."""
+        return np.asarray(_current_pose(self.config, self.state))
+
+    def trajectory(self) -> np.ndarray:
+        """(num_nodes, 3) optimized keyframe poses."""
+        n = int(self.state.num_nodes)
+        return np.asarray(self.state.poses[:n])
+
+    def odom_trajectory(self) -> np.ndarray:
+        n = int(self.state.num_nodes)
+        return np.asarray(self.state.odom_poses[:n])
+
+    def num_nodes(self) -> int:
+        return int(self.state.num_nodes)
+
+    def map_points(self, subsample: int | None = None) -> np.ndarray:
+        """All valid scan points in map frame, thinned (GetMap,
+        dpg_slam.cc:555-575)."""
+        sub = subsample or self.config.viz.display_points_fraction
+        n = int(self.state.num_nodes)
+        if n == 0:
+            return np.zeros((0, 2))
+        pts_bl = scan.points_in_base_link(
+            self.state.ranges[:n], self.config.scan, _laser_pose_in_bl(self.config)
+        )
+        pts_map = geom.apply(self.state.poses[:n, None, :], pts_bl)
+        valid = scan.valid_mask(self.state.labels[:n])
+        flat = np.asarray(pts_map.reshape(-1, 2))
+        vmask = np.asarray(valid.reshape(-1))
+        return flat[vmask][::sub]

@@ -227,10 +227,35 @@ def residuals(poses: jnp.ndarray, g: FactorGraph) -> jnp.ndarray:
     return jnp.concatenate([pr.reshape(-1), er.reshape(-1)])
 
 
-def total_error(poses: jnp.ndarray, g: FactorGraph) -> jnp.ndarray:
-    """0.5 * sum of squared whitened residuals (GTSAM graph.error analog)."""
-    r = residuals(poses, g)
-    return 0.5 * jnp.sum(r * r)
+def _huber_weight(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS weight per factor from the whitened residual norm: 1 inside the
+    delta band, delta/||r|| outside (Huber). (E,) from (E, 3)."""
+    nrm = jnp.linalg.norm(r, axis=-1)
+    return jnp.where(nrm <= delta, 1.0, delta / jnp.maximum(nrm, 1e-12))
+
+
+def _huber_loss(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """Summed Huber loss over factors (rows of whitened residuals)."""
+    nrm = jnp.linalg.norm(r, axis=-1)
+    quad = 0.5 * nrm * nrm
+    lin = delta * nrm - 0.5 * delta * delta
+    return jnp.sum(jnp.where(nrm <= delta, quad, lin))
+
+
+def total_error(
+    poses: jnp.ndarray, g: FactorGraph, robust_delta: float | None = None
+) -> jnp.ndarray:
+    """Total graph error (GTSAM graph.error analog). With robust_delta set,
+    between-factors use the Huber loss (priors stay quadratic) — outlier
+    loop closures contribute linearly instead of quadratically."""
+    pr, _ = _prior_residual_jac(poses, g)
+    er, _, _ = _between_residual_jac(poses, g)
+    pr = jnp.where(g.prior_mask[:, None], pr, 0.0)
+    er = jnp.where(g.edge_mask[:, None], er, 0.0)
+    prior_err = 0.5 * jnp.sum(pr * pr)
+    if robust_delta is None:
+        return prior_err + 0.5 * jnp.sum(er * er)
+    return prior_err + _huber_loss(er, robust_delta)
 
 
 # --------------------------------------------------------------------------
@@ -243,13 +268,23 @@ class _NormalEq(NamedTuple):
     rhs: jnp.ndarray       # (N, 3) gradient  (g = J^T r)
 
 
-def _assemble(poses: jnp.ndarray, g: FactorGraph, node_mask: jnp.ndarray) -> _NormalEq:
+def _assemble(
+    poses: jnp.ndarray,
+    g: FactorGraph,
+    node_mask: jnp.ndarray,
+    robust_delta: float | None = None,
+) -> _NormalEq:
     N = poses.shape[0]
     pr, pJ = _prior_residual_jac(poses, g)
     er, Ji, Jj = _between_residual_jac(poses, g)
 
     pm = g.prior_mask.astype(poses.dtype)
     em = g.edge_mask.astype(poses.dtype)
+    if robust_delta is not None:
+        # IRLS: scale each between-factor's residual and Jacobians by
+        # sqrt(huber weight) so the normal equations realize the robust loss.
+        sw = jnp.sqrt(_huber_weight(er, robust_delta))
+        em = em * sw
     pJ = pJ * pm[:, None, None]
     pr = pr * pm[:, None]
     Ji = Ji * em[:, None, None]
@@ -361,7 +396,8 @@ def _cg_solve(
 # --------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iterations", "method", "cg_iterations")
+    jax.jit,
+    static_argnames=("max_iterations", "method", "cg_iterations", "robust_delta"),
 )
 def solve(
     poses: jnp.ndarray,
@@ -372,6 +408,7 @@ def solve(
     damping_init: float = 1e-4,
     method: str = "dense",
     cg_iterations: int = 64,
+    robust_delta: float | None = None,
 ) -> tuple[jnp.ndarray, SolveStats]:
     """Levenberg-Marquardt over the pose graph.
 
@@ -388,18 +425,18 @@ def solve(
     Returns:
       (optimized poses, SolveStats).
     """
-    err0 = total_error(poses, g)
+    err0 = total_error(poses, g, robust_delta)
 
     def step(carry, _):
         poses, damping, err, accepted = carry
-        eq = _assemble(poses, g, node_mask)
+        eq = _assemble(poses, g, node_mask, robust_delta)
         if method == "dense":
             delta = _dense_solve(eq, g, damping)
         else:
             delta = _cg_solve(eq, g, damping, cg_iterations)
         new_poses = poses - delta
         new_poses = new_poses.at[:, 2].set(geom.wrap_angle(new_poses[:, 2]))
-        new_err = total_error(new_poses, g)
+        new_err = total_error(new_poses, g, robust_delta)
         accept = new_err < err
         poses = jnp.where(accept, new_poses, poses)
         err = jnp.where(accept, new_err, err)

@@ -53,10 +53,12 @@ class ICPResult(NamedTuple):
     transform: (B, 3) pose of the source frame in the target frame (the
       BetweenFactor measurement, matching runIcp's output convention at
       dpg_slam.cc:433-439).
-    converged: (B,) bool — alignment accepted (enough matches + fitness).
+    converged: (B,) bool — alignment accepted (matches + fitness + overlap).
     num_correspondences: (B,) int32 matched pairs in the final iteration.
     fitness: (B,) float32 mean squared correspondence distance (PCL
       getFitnessScore analog, dpg_slam.cc:443).
+    overlap: (B,) float32 matched fraction of valid source points — the
+      gate that rejects low-overlap pairs whose ICP optimum is biased.
     covariance: (B, 3, 3) observation covariance for the factor.
     """
 
@@ -64,6 +66,7 @@ class ICPResult(NamedTuple):
     converged: jnp.ndarray
     num_correspondences: jnp.ndarray
     fitness: jnp.ndarray
+    overlap: jnp.ndarray
     covariance: jnp.ndarray
 
 
@@ -134,7 +137,7 @@ def _icp_iteration(
     tgt_mask: jnp.ndarray,
     tgt_normals: jnp.ndarray,
     *,
-    max_corr_sq: float,
+    max_corr_sq: jnp.ndarray,
     reciprocal: bool,
     point_to_line: bool,
     epsilon: float,
@@ -205,9 +208,15 @@ def _icp_iteration(
         num_corr.astype(jnp.float32), 1.0
     )
 
-    # Damped solve; guard rank deficiency (too few correspondences).
+    # Damped solve. Damping is RELATIVE to trace(H): in degenerate geometry
+    # (e.g. a corridor, where the along-axis direction is unconstrained for
+    # point-to-line residuals) an absolute epsilon lets GN take meter-scale
+    # steps along the null space driven by noise; trace-relative damping
+    # pins unconstrained directions to the (odometry) seed instead.
     eye = jnp.eye(3, dtype=H.dtype)
-    Hd = H + damping * eye[None]
+    tr = (H[:, 0, 0] + H[:, 1, 1] + H[:, 2, 2]) / 3.0
+    lam = damping * jnp.maximum(tr, 1e-12)
+    Hd = H + lam[:, None, None] * eye[None]
     solvable = num_corr >= 3
     delta = jnp.linalg.solve(
         jnp.where(solvable[:, None, None], Hd, eye[None]), g[..., None]
@@ -235,6 +244,7 @@ def _icp_iteration(
         "sensor_noise_std",
         "min_correspondences",
         "fitness_threshold",
+        "min_overlap",
     ),
 )
 def _icp_align_impl(
@@ -244,6 +254,7 @@ def _icp_align_impl(
     tgt_mask: jnp.ndarray,
     tgt_normals: jnp.ndarray,
     init_guess: jnp.ndarray,
+    gate_multiplier: jnp.ndarray,
     *,
     max_iterations: int,
     max_correspondence_distance: float,
@@ -255,6 +266,7 @@ def _icp_align_impl(
     sensor_noise_std: float,
     min_correspondences: int,
     fitness_threshold: float,
+    min_overlap: float,
 ) -> ICPResult:
     B = src.shape[0]
     state = _IterState(
@@ -265,7 +277,20 @@ def _icp_align_impl(
         fitness=jnp.full((B,), jnp.inf, dtype=jnp.float32),
     )
 
-    def body(state, _):
+    # Coarse-to-fine correspondence gating, PER PAIR: the fixed 0.6 m gate
+    # (parameters.h:173) rejects the true correspondences outright when the
+    # seed error exceeds it (drifted loop-closure seeds), so pairs with
+    # gate_multiplier > 1 start wide and anneal linearly down to the fine
+    # gate over the first 2/3 of iterations. Well-seeded pairs (successive
+    # scans) should pass multiplier 1.0 — a wide gate admits wrong far
+    # matches that drag degenerate (corridor) geometry off a perfect seed.
+    # Acceptance (overlap/fitness) is judged on the final, fine gate.
+    anneal_iters = max(1, (2 * max_iterations) // 3)
+
+    def body(state, it):
+        progress = jnp.maximum(0.0, 1.0 - it / anneal_iters)
+        mult = 1.0 + (gate_multiplier - 1.0) * progress          # (B,)
+        gate_sq = (max_correspondence_distance * mult) ** 2
         state = _icp_iteration(
             state,
             src,
@@ -273,18 +298,37 @@ def _icp_align_impl(
             tgt,
             tgt_mask,
             tgt_normals,
-            max_corr_sq=max_correspondence_distance**2,
+            max_corr_sq=gate_sq[:, None],
             reciprocal=reciprocal,
             point_to_line=point_to_line,
             epsilon=epsilon,
-            damping=1e-6,
+            damping=1e-3,
         )
+        # No convergence freezing while any annealing is still in
+        # progress — a coarse-gate local optimum is not convergence.
+        annealing = (gate_multiplier > 1.0) & (it < anneal_iters - 1)
+        state = state._replace(active=state.active | annealing)
         return state, None
 
-    state, _ = jax.lax.scan(body, state, None, length=max_iterations)
+    state, _ = jax.lax.scan(
+        body, state, jnp.arange(max_iterations, dtype=jnp.float32)
+    )
 
-    converged = (state.num_corr >= min_correspondences) & (
-        state.fitness <= fitness_threshold
+    n_src_valid = jnp.sum(src_mask, axis=-1).astype(jnp.float32)
+    overlap = state.num_corr.astype(jnp.float32) / jnp.maximum(n_src_valid, 1.0)
+    # Seed-deviation gate: ICP is a local refiner — a result that moved
+    # farther from its seed than the (coarse) correspondence gate could
+    # ever justify has jumped to an aliased optimum (parallel-wall
+    # symmetry). Budget scales with the pair's gate multiplier.
+    deviation = jnp.linalg.norm(
+        state.transform[:, 0:2] - init_guess[:, 0:2], axis=-1
+    )
+    deviation_budget = gate_multiplier * max_correspondence_distance
+    converged = (
+        (state.num_corr >= min_correspondences)
+        & (state.fitness <= fitness_threshold)
+        & (overlap >= min_overlap)
+        & (deviation <= deviation_budget)
     )
 
     if fixed_covariance:
@@ -305,6 +349,7 @@ def _icp_align_impl(
         converged=converged,
         num_correspondences=state.num_corr,
         fitness=state.fitness,
+        overlap=overlap,
         covariance=cov,
     )
 
@@ -317,9 +362,11 @@ def icp_align(
     init_guess: jnp.ndarray,
     params: PoseGraphParams,
     tgt_normals: jnp.ndarray | None = None,
+    gate_multiplier: jnp.ndarray | None = None,
     min_correspondences: int = 10,
     fitness_threshold: float = 0.25,
-    sensor_noise_std: float = 0.02,
+    min_overlap: float | None = None,
+    sensor_noise_std: float | None = None,
 ) -> ICPResult:
     """Align a batch of source clouds onto target clouds.
 
@@ -345,6 +392,17 @@ def icp_align(
     """
     if tgt_normals is None:
         tgt_normals = estimate_normals(tgt, tgt_mask)
+    if sensor_noise_std is None:
+        sensor_noise_std = params.icp_sensor_noise_std
+    if min_overlap is None:
+        min_overlap = params.icp_min_overlap
+    if gate_multiplier is None:
+        # Default: every pair gets the configured coarse-to-fine schedule.
+        # Callers that mix well-seeded pairs (successive scans: pass 1.0)
+        # with drifted-seed pairs (loop closures) should pass per-pair values.
+        gate_multiplier = jnp.full(
+            (src.shape[0],), params.icp_coarse_gate_multiplier, jnp.float32
+        )
     return _icp_align_impl(
         src,
         src_mask,
@@ -352,6 +410,7 @@ def icp_align(
         tgt_mask,
         tgt_normals,
         init_guess,
+        gate_multiplier,
         max_iterations=params.icp_maximum_iterations,
         max_correspondence_distance=params.icp_max_correspondence_distance,
         reciprocal=params.icp_use_reciprocal_correspondences,
@@ -366,6 +425,7 @@ def icp_align(
         sensor_noise_std=sensor_noise_std,
         min_correspondences=min_correspondences,
         fitness_threshold=fitness_threshold,
+        min_overlap=min_overlap,
     )
 
 
@@ -379,6 +439,12 @@ def icp_align_single(
     **kwargs,
 ) -> ICPResult:
     """Single-pair convenience wrapper (adds/removes the batch axis)."""
+    if kwargs.get("tgt_normals") is not None:
+        kwargs["tgt_normals"] = kwargs["tgt_normals"][None]
+    if kwargs.get("gate_multiplier") is not None:
+        kwargs["gate_multiplier"] = jnp.atleast_1d(
+            jnp.asarray(kwargs["gate_multiplier"], jnp.float32)
+        )
     res = icp_align(
         src[None],
         src_mask[None],

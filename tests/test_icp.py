@@ -79,8 +79,11 @@ def test_icp_with_noise_and_seed():
     mask = jnp.ones(256, dtype=bool)
     # Seed near the truth, like the odometry seed at dpg_slam.cc:364-378.
     seed = jnp.array(true_pose + rng.uniform(-0.1, 0.1, 3))
+    # Two independent random samplings of the same walls: reciprocal
+    # matching keeps fewer pairs, so relax the overlap gate for this test.
     res = icp.icp_align_single(
-        jnp.array(src, jnp.float32), mask, jnp.array(tgt, jnp.float32), mask, seed, params
+        jnp.array(src, jnp.float32), mask, jnp.array(tgt, jnp.float32), mask, seed, params,
+        min_overlap=0.3,
     )
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.transform), true_pose, atol=0.05)
