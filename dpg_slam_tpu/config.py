@@ -147,12 +147,30 @@ class DpgParams:
     # uninitialized (parameters.h:62, dpg_slam.cc:785). We pick 72 bins
     # (5 deg at 360 FOV) as a sane default.
     delta_change_threshold: float = 0.20
+    min_changed_bins_for_commit: int = 2
+    # Commit a chain node's changes when EITHER the changed-bin ratio
+    # clears delta_change_threshold (reference intent, dpg_slam.cc:823-827)
+    # OR at least this many distinct bins changed. The ratio alone demands
+    # objects subtending >=20% of the FOV; a real box at a few meters spans
+    # only a few bins. (The reference's own gate is doubly broken: the bin
+    # count is read uninitialized and the ratio uses integer division —
+    # SURVEY.md §3.6.4-5 — so there is no working behavior to mirror.)
     current_pose_graph_coverage_threshold: float = 1.0
     occ_grid_resolution: float = 0.05
     minimum_percent_active_sectors: float = 0.5
     distance_threshold_for_local_submap_nodes: float = 5.0
     # TPU design knobs (dense windowed grids replace hash maps):
     grid_extent_cells: int = 1024         # (H, W) of the change-detection window
+    max_submap_nodes: int = 32            # M nearest prior-pass nodes in the submap
+    change_margin_cells: int = 2
+    # Veto radius (cells) around mapped OCCUPIED structure inside which
+    # points are never labeled ADDED/REMOVED — suppresses grazing-ray
+    # carving and discretization false positives at walls.
+    min_free_views: int = 2
+    # Multi-view consistency: FREE evidence for a change must come from at
+    # least this many independent grids (chain nodes for REMOVED, submap
+    # contributors for ADDED) — one grazing ray through a wall is not
+    # evidence the wall vanished.
     replicate_int_bin_ratio: bool = False
     # True reproduces reference bug dpg_slam.cc:823 (integer division makes
     # the bin-change ratio 0 until all bins changed — commits almost never).

@@ -1,0 +1,432 @@
+"""DPG change detection — executeDPG as one jitted array program.
+
+Replaces the reference pipeline (dpg_slam.cc:865-911 and callees):
+
+  computeLocalSubMap (cc:591-620)
+    -> per-chain-node occupancy grids + greedy submap cover (cc:622-701)
+  detectAndLabelChangesForCurrentPoseChain (cc:714-743)
+    -> cell diffs: node OCCUPIED vs submap FREE => ADDED candidates,
+       node FREE vs submap OCCUPIED => REMOVED candidates (cc:745-780)
+    -> angular-bin score gate per chain node (cc:782-830)
+  updateNodesAndSectorStatus (cc:888-911)
+    -> sector deactivation via DpgNode::deactivateIntersectingSectors
+       (dpg_node.cc:28-96), node deactivation below min active fraction
+  getActiveAndDynamicMapPoints (cc:832-863) -> map_layers()
+
+TPU-first design: all of the above operates on dense world-anchored grid
+windows (ops/raster.py) and fixed-shape (C, B) / (M, B) point masks —
+no hash maps, no per-point objects, one jitted program per DPG step.
+
+Documented deviations from the reference (SURVEY.md §3.6):
+  * NOT_YET_LABELED points rasterize like STATIC ones. The reference
+    excludes them (dpg_slam.cc:983-984), which makes change detection a
+    no-op on fresh, never-labeled nodes — clearly unintended (their TODO
+    at dpg_slam.cc:192 asks whether to pre-label first-pass points STATIC).
+  * The submap is the union (max-combine) of ALL active prior-pass nodes
+    within the proximity radius, capped at the M nearest, instead of the
+    reference's greedy cover loop (cc:646-695) — the greedy loop with
+    coverage threshold 1.0 nearly always exhausts the same set, serially.
+  * Bin-score ratio uses real division; the reference's integer division
+    (cc:823) makes its 0.2 threshold unreachable (commit requires every
+    bin changed). `replicate_int_bin_ratio=True` restores that behavior.
+  * Removed-point labels go to the node that OWNS the point; the reference
+    indexes nodes by point id (cc:739), a crash/corruption bug.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dpg_slam_tpu import geom, scan
+from dpg_slam_tpu.config import DpgConfig
+from dpg_slam_tpu.ops import raster
+
+__all__ = ["execute_dpg", "map_layers", "DpgStepInfo"]
+
+
+def _dilate_occupied(grid: jnp.ndarray, margin: int) -> jnp.ndarray:
+    """(..., H, W) int8 grid -> bool mask of cells within `margin` cells of
+    an OCCUPIED cell (max-pool dilation). Used as a change-detection veto:
+    a point adjacent to mapped structure is a discretization/noise artifact
+    of that structure, not an appeared/vanished object."""
+    occ = (grid == raster.OCCUPIED).astype(jnp.int8)
+    if margin <= 0:
+        return occ.astype(bool)
+    k = 2 * margin + 1
+    batched = occ.ndim == 3
+    x = occ if batched else occ[None]
+    out = jax.lax.reduce_window(
+        x,
+        jnp.int8(0),
+        jax.lax.max,
+        window_dimensions=(1, k, k),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+    )
+    return (out if batched else out[0]).astype(bool)
+
+
+class DpgStepInfo(NamedTuple):
+    """Diagnostics from one DPG step (observability; reference logs these
+    via ROS_INFO at dpg_slam.cc:859-875)."""
+
+    num_added: jnp.ndarray        # () int32 newly labeled ADDED points
+    num_removed: jnp.ndarray      # () int32 newly labeled REMOVED points
+    coverage: jnp.ndarray         # () float32 chain-cell coverage by submap
+    num_contributors: jnp.ndarray # () int32 submap nodes used
+
+
+def _lidar_poses(cfg: DpgConfig, poses: jnp.ndarray) -> jnp.ndarray:
+    pg = cfg.pose_graph
+    laser = jnp.array(
+        [pg.laser_x_in_bl_frame, pg.laser_y_in_bl_frame, pg.laser_orientation_rel_bl_frame],
+        jnp.float32,
+    )
+    return geom.compose(poses, jnp.broadcast_to(laser, poses.shape))
+
+
+def _beam_select(cfg: DpgConfig, labels: jnp.ndarray, sector_active: jnp.ndarray):
+    """Reference beam-inclusion rule (dpg_slam.cc:977-1008), include flags at
+    their defaults (include_inactive=F, include_added=T, include_static=T;
+    dpg_slam.h:52-53) and NOT_YET_LABELED treated as STATIC (see module
+    docstring).
+
+    Returns (included, occupied): beams that march free rays, and beams
+    whose endpoint marks an OCCUPIED cell.
+    """
+    sec = scan.sector_ids(cfg.scan, cfg.dpg.num_sectors)
+    beam_sector_active = jnp.take(sector_active, sec, axis=-1)  # (..., B)
+    label_ok = (
+        (labels == scan.MAX_RANGE)
+        | (labels == scan.STATIC)
+        | (labels == scan.NOT_YET_LABELED)
+        | (labels == scan.ADDED)
+        | (labels == scan.REMOVED)
+    )
+    included = beam_sector_active & label_ok
+    occupied = included & (labels != scan.MAX_RANGE)
+    return included, occupied
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def execute_dpg(cfg: DpgConfig, state):
+    """Run change detection for the current pose chain; returns updated
+    SlamState (labels, sector_active, node_active) — executeDPG analog."""
+    from dpg_slam_tpu.engine import SlamState  # cycle-free at call time
+
+    assert isinstance(state, SlamState)
+    dpg = cfg.dpg
+    C = dpg.current_pose_chain_len
+    M = dpg.max_submap_nodes
+    extent = dpg.grid_extent_cells
+    res = dpg.occ_grid_resolution
+    B = cfg.scan.num_beams
+    N = state.poses.shape[0]
+    march_steps = int(round(cfg.scan.range_max / res))
+
+    idx = jnp.arange(N)
+    node_mask = state.node_mask
+
+    # ---- 1. Current pose chain: last <=C nodes of the current pass
+    # (computeLocalSubMap, dpg_slam.cc:594-603).
+    chain_offsets = jnp.arange(C)
+    chain_idx = state.num_nodes - 1 - chain_offsets            # (C,) newest first
+    chain_valid = (chain_idx >= 0) & (
+        jnp.take(state.pass_ids, jnp.maximum(chain_idx, 0)) == state.pass_number
+    )
+    chain_idx = jnp.maximum(chain_idx, 0)
+
+    chain_poses = state.poses[chain_idx]                       # (C, 3)
+    chain_lidar = _lidar_poses(cfg, chain_poses)
+    chain_ranges = state.ranges[chain_idx]
+    chain_labels = state.labels[chain_idx]
+    chain_sector_act = state.sector_active[chain_idx]
+
+    # Window anchored at the chain centroid.
+    centroid = jnp.sum(
+        jnp.where(chain_valid[:, None], chain_poses[:, 0:2], 0.0), axis=0
+    ) / jnp.maximum(jnp.sum(chain_valid), 1)
+    origin = centroid - 0.5 * extent * res
+
+    pts_laser = scan.points_in_laser_frame(chain_ranges, cfg.scan)  # (C, B, 2)
+    chain_pts_map = geom.apply(chain_lidar[:, None, :], pts_laser)
+
+    chain_incl, chain_occ = _beam_select(cfg, chain_labels, chain_sector_act)
+    chain_incl = chain_incl & chain_valid[:, None]
+    chain_occ = chain_occ & chain_valid[:, None]
+
+    chain_grids = raster.rasterize_scans(
+        chain_lidar, chain_pts_map, chain_ranges, chain_occ, chain_incl,
+        origin, extent, res, march_steps,
+    )                                                          # (C, H, W)
+
+    # ---- 2. Submap contributors: active nodes of PRIOR passes within the
+    # proximity radius of any chain node (cc:646-668), M nearest.
+    prior_pass = node_mask & (state.pass_ids != state.pass_number) & state.node_active
+    d_chain = jnp.linalg.norm(
+        state.poses[:, None, 0:2] - chain_poses[None, :, 0:2], axis=-1
+    )                                                          # (N, C)
+    d_chain = jnp.where(chain_valid[None, :], d_chain, jnp.inf)
+    near = jnp.min(d_chain, axis=1) <= dpg.distance_threshold_for_local_submap_nodes
+    contrib_ok = prior_pass & near
+    score = jnp.where(contrib_ok, jnp.min(d_chain, axis=1), jnp.inf)
+    _, contrib_idx = jax.lax.top_k(-score, M)                  # (M,)
+    contrib_valid = jnp.take(contrib_ok, contrib_idx)
+
+    sub_poses = state.poses[contrib_idx]
+    sub_lidar = _lidar_poses(cfg, sub_poses)
+    sub_ranges = state.ranges[contrib_idx]
+    sub_labels = state.labels[contrib_idx]
+    sub_sector_act = state.sector_active[contrib_idx]
+
+    sub_pts_map = geom.apply(
+        sub_lidar[:, None, :], scan.points_in_laser_frame(sub_ranges, cfg.scan)
+    )                                                          # (M, B, 2)
+    sub_incl, sub_occ = _beam_select(cfg, sub_labels, sub_sector_act)
+    sub_incl = sub_incl & contrib_valid[:, None]
+    sub_occ = sub_occ & contrib_valid[:, None]
+
+    # Contributors rasterize per node, then max-combine into ONE submap
+    # grid (== combineOccupancyGrids' OCCUPIED-priority merge, cc:931-956).
+    sub_grids = raster.rasterize_scans(
+        sub_lidar, sub_pts_map, sub_ranges, sub_occ, sub_incl,
+        origin, extent, res, march_steps,
+    )                                                          # (M, H, W)
+    submap_grid = jnp.max(sub_grids, axis=0)
+
+    # Coverage diagnostic: fraction of chain-known cells also known in the
+    # submap (getSubMapCoveringCurrPoseChain's threshold, cc:690-699).
+    chain_known = jnp.max(chain_grids, axis=0) > raster.UNKNOWN
+    sub_known = submap_grid > raster.UNKNOWN
+    coverage = jnp.sum(chain_known & sub_known) / jnp.maximum(
+        jnp.sum(chain_known), 1
+    )
+
+    # ---- 3. Change candidates (detectAndLabelChangesForCurrentNode,
+    # cc:745-780), per point instead of per cell:
+    # ADDED: chain point whose cell is FREE in the submap.
+    chain_cells = raster.world_to_cell(chain_pts_map, origin, res)   # (C, B, 2)
+    chain_inw = raster.in_window(chain_cells, extent)
+    ccx = jnp.clip(chain_cells[..., 0], 0, extent - 1)
+    ccy = jnp.clip(chain_cells[..., 1], 0, extent - 1)
+    sub_at_chain = submap_grid[ccx, ccy]                             # (C, B)
+    # Margin veto: a chain point within `change_margin_cells` of submap
+    # structure is a rasterization artifact of that structure (grazing-ray
+    # carving through walls), not an appeared object.
+    sub_occ_near = _dilate_occupied(submap_grid, dpg.change_margin_cells)
+    sub_free_votes = jnp.sum(sub_grids[:, ccx, ccy] == raster.FREE, axis=0)  # (C, B)
+    added_cand = (
+        chain_occ
+        & chain_inw
+        & (sub_at_chain == raster.FREE)
+        & (sub_free_votes >= dpg.min_free_views)
+        & ~sub_occ_near[ccx, ccy]
+    )
+
+    # REMOVED: submap point whose cell is FREE in a chain node's grid.
+    sub_cells = raster.world_to_cell(sub_pts_map, origin, res)       # (M, B, 2)
+    sub_inw = raster.in_window(sub_cells, extent)
+    scx = jnp.clip(sub_cells[..., 0], 0, extent - 1)
+    scy = jnp.clip(sub_cells[..., 1], 0, extent - 1)
+    chain_at_sub = chain_grids[:, scx, scy]                          # (C, M, B)
+    chain_occ_near = _dilate_occupied(chain_grids, dpg.change_margin_cells)
+    occ_near_any = jnp.any(chain_occ_near[:, scx, scy], axis=0)      # (M, B)
+    removed_cand = (
+        sub_occ[None, :, :]
+        & sub_inw[None, :, :]
+        & (chain_at_sub == raster.FREE)
+        & ~occ_near_any[None, :, :]
+    )                                                                # (C, M, B)
+
+    # Whole-object consistency: a genuinely removed object vanishes as a
+    # connected cluster, while occlusion-boundary false positives sit at
+    # the edge of structure that is still there. Veto candidates adjacent
+    # to PERSISTENT submap occupancy (occupied cells that are themselves
+    # not candidates).
+    cand_any = jnp.any(removed_cand, axis=0)                         # (M, B)
+    cand_cells = jnp.zeros((extent, extent), bool)
+    cx = jnp.where(cand_any, scx, extent)
+    cy = jnp.where(cand_any, scy, extent)
+    cand_cells = cand_cells.at[cx, cy].set(True, mode="drop")
+    persistent = (submap_grid == raster.OCCUPIED) & ~cand_cells
+    persistent_near = _dilate_occupied(
+        jnp.where(persistent, raster.OCCUPIED, raster.UNKNOWN),
+        dpg.change_margin_cells,
+    )
+    removed_cand = removed_cand & ~persistent_near[scx, scy][None, :, :]
+
+    # ---- 4. Angular-bin commit gate per chain node
+    # (computeBinScoreAndCommitLabelsForNode, cc:782-830): changed points,
+    # binned by bearing in the chain node's lidar frame; commit that node's
+    # changes if enough distinct bins changed.
+    n_bins = dpg.num_bins_for_change_detection
+    amin, amax = cfg.scan.angle_min, cfg.scan.angle_max
+    bin_w = (amax - amin) / n_bins
+
+    def bins_for(points_map_flat, valid_flat, lidar_pose):
+        rel = geom.inv_apply(lidar_pose, points_map_flat)
+        ang = jnp.arctan2(rel[..., 1], rel[..., 0])
+        ok = valid_flat & (ang >= amin) & (ang <= amax)
+        b = jnp.clip(((ang - amin) / bin_w).astype(jnp.int32), 0, n_bins - 1)
+        hist = jnp.zeros((n_bins,), bool).at[jnp.where(ok, b, n_bins)].set(
+            True, mode="drop"
+        )
+        return hist
+
+    def chain_node_bins(c):
+        own = bins_for(chain_pts_map[c], added_cand[c], chain_lidar[c])
+        rem = bins_for(
+            sub_pts_map.reshape(M * B, 2),
+            removed_cand[c].reshape(M * B),
+            chain_lidar[c],
+        )
+        return own | rem
+
+    changed_bins = jax.vmap(chain_node_bins)(jnp.arange(C))          # (C, n_bins)
+    changed_counts = jnp.sum(changed_bins, axis=1)
+    if dpg.replicate_int_bin_ratio:
+        # Reference bug cc:823: size_t division — ratio is 0 until ALL bins
+        # changed, so the 0.2 threshold means "every bin".
+        ratio = (changed_counts // n_bins).astype(jnp.float32)
+    else:
+        ratio = changed_counts.astype(jnp.float32) / n_bins
+    has_changes = (
+        jnp.any(added_cand, axis=1) | jnp.any(removed_cand.reshape(C, -1), axis=1)
+    )
+    commit = (
+        chain_valid
+        & has_changes
+        & (
+            (ratio >= dpg.delta_change_threshold)
+            | (changed_counts >= dpg.min_changed_bins_for_commit)
+        )
+    )
+
+    # ---- 5. Commit labels.
+    added_commit = added_cand & commit[:, None]                      # (C, B)
+    removed_commit = jnp.any(
+        removed_cand & commit[:, None, None], axis=0
+    )                                                                # (M, B)
+
+    labels = state.labels
+    # ADDED on chain nodes' own points (setPointLabel respects MAX_RANGE,
+    # dpg_measurement.h:55-59 — guaranteed since added_cand ⊆ occupied).
+    chain_rows = jnp.broadcast_to(chain_idx[:, None], (C, B))
+    labels = labels.at[
+        jnp.where(added_commit, chain_rows, N), jnp.arange(B)[None, :]
+    ].set(scan.ADDED, mode="drop")
+    # REMOVED on the owning submap nodes' points (reference bug cc:739 fixed).
+    sub_rows = jnp.broadcast_to(contrib_idx[:, None], (M, B))
+    labels = labels.at[
+        jnp.where(removed_commit, sub_rows, N), jnp.arange(B)[None, :]
+    ].set(scan.REMOVED, mode="drop")
+
+    # Labeling a point REMOVED also deactivates its sector in its own node
+    # (Measurement::setPointLabel, dpg_measurement.h:174-179).
+    sec = scan.sector_ids(cfg.scan, dpg.num_sectors)                 # (B,)
+    sector_active = state.sector_active
+    sec_b = jnp.broadcast_to(sec[None, :], (M, B))
+    sector_active = sector_active.at[
+        jnp.where(removed_commit, sub_rows, N), sec_b
+    ].set(False, mode="drop")
+
+    # ---- 6. Sector/node deactivation against removed points in the FOV
+    # (updateNodesAndSectorStatus cc:888-911 + deactivateIntersectingSectors
+    # dpg_node.cc:28-96), vectorized over (past nodes x removed points).
+    removed_pts = sub_pts_map                                        # (M, B, 2)
+    rflat = removed_pts.reshape(M * B, 2)
+    rvalid = removed_commit.reshape(M * B)
+
+    past_nodes = node_mask & (state.pass_ids != state.pass_number)
+    all_lidar = _lidar_poses(cfg, state.poses)                       # (N, 3)
+    rel = geom.inv_apply(all_lidar[:, None, :], rflat[None, :, :])   # (N, R, 2)
+    rr = jnp.linalg.norm(rel, axis=-1)
+    ang = jnp.arctan2(rel[..., 1], rel[..., 0])
+    in_fov = (
+        rvalid[None, :]
+        & past_nodes[:, None]
+        & (rr <= cfg.scan.range_max)
+        & (ang >= amin)
+        & (ang <= amax)
+    )
+    sector_size = (amax - amin) / dpg.num_sectors
+    psec = jnp.clip(((ang - amin) / sector_size).astype(jnp.int32), 0, dpg.num_sectors - 1)
+    # FOV range at the point's bearing: conservative min of the two
+    # neighboring beams (dpg_node.cc:77-84).
+    approx = (ang - amin) / cfg.scan.angle_increment
+    i0 = jnp.clip(jnp.floor(approx).astype(jnp.int32), 0, B - 1)
+    i1 = jnp.minimum(i0 + 1, B - 1)
+    r0 = jnp.take_along_axis(state.ranges, i0, axis=1)
+    r1 = jnp.take_along_axis(state.ranges, i1, axis=1)
+    fov_range = jnp.minimum(r0, r1)                                  # (N, R)
+    # Require clear punch-through: the removed point must be closer than
+    # the node's own return by a real margin, not a noise-level tie
+    # (dpg_node.cc:88 uses a bare >, which deactivates on equality jitter).
+    punch = in_fov & (fov_range > rr + 2.0 * dpg.occ_grid_resolution)
+    node_rows = jnp.broadcast_to(idx[:, None], punch.shape)
+    sector_active = sector_active.at[
+        jnp.where(punch, node_rows, N), psec
+    ].set(False, mode="drop")
+
+    # Node deactivation below the active-sector floor (dpg_node.cc:93-95).
+    frac_active = jnp.mean(sector_active.astype(jnp.float32), axis=1)
+    node_active = state.node_active & jnp.where(
+        past_nodes, frac_active >= dpg.minimum_percent_active_sectors, True
+    )
+
+    info = DpgStepInfo(
+        num_added=jnp.sum(added_commit).astype(jnp.int32),
+        num_removed=jnp.sum(removed_commit).astype(jnp.int32),
+        coverage=coverage.astype(jnp.float32),
+        num_contributors=jnp.sum(contrib_valid).astype(jnp.int32),
+    )
+    new_state = state._replace(
+        labels=labels, sector_active=sector_active, node_active=node_active
+    )
+    return new_state, info
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def map_layers(cfg: DpgConfig, state):
+    """The four DPG map layers (getActiveAndDynamicMapPoints, cc:832-863).
+
+    Returns dict of (points (N*B, 2), mask (N*B,)) pairs in map frame:
+      active_static:  STATIC points of active nodes + active sectors
+      active_added:   ADDED points of active nodes + active sectors
+      dynamic_added:  ADDED points of all nodes
+      dynamic_removed: REMOVED points of all nodes
+    NOT_YET_LABELED points are treated as STATIC for the active map (see
+    execute_dpg docstring deviation note).
+    """
+    from dpg_slam_tpu.engine import SlamState
+
+    assert isinstance(state, SlamState)
+    N = state.poses.shape[0]
+    lidar = _lidar_poses(cfg, state.poses)
+    pts_map = geom.apply(
+        lidar[:, None, :], scan.points_in_laser_frame(state.ranges, cfg.scan)
+    )                                                          # (N, B, 2)
+    labels = state.labels
+    node_mask = state.node_mask[:, None]
+
+    sec = scan.sector_ids(cfg.scan, cfg.dpg.num_sectors)
+    sector_ok = jnp.take_along_axis(
+        state.sector_active, jnp.broadcast_to(sec[None, :], labels.shape), axis=1
+    )
+    active_ok = node_mask & state.node_active[:, None] & sector_ok
+
+    is_static = (labels == scan.STATIC) | (labels == scan.NOT_YET_LABELED)
+    is_added = labels == scan.ADDED
+    is_removed = labels == scan.REMOVED
+
+    flat = pts_map.reshape(-1, 2)
+    return {
+        "active_static": (flat, (active_ok & is_static).reshape(-1)),
+        "active_added": (flat, (active_ok & is_added).reshape(-1)),
+        "dynamic_added": (flat, (node_mask & is_added).reshape(-1)),
+        "dynamic_removed": (flat, (node_mask & is_removed).reshape(-1)),
+    }

@@ -582,7 +582,8 @@ class DpgSlamEngine:
         self.state = _init_state(self.config)
         # Dense Cholesky is faster up to ~1k nodes; CG beyond.
         self.solve_method = "dense" if self.config.capacity.max_nodes <= 1024 else "cg"
-        self._dpg_enabled = False  # flipped on once dpg.change_detection lands
+        self._dpg_enabled = True
+        self.last_dpg_info = None
 
     # -- observations -----------------------------------------------------
     def observe_odometry(self, odom_pose) -> None:
@@ -630,7 +631,21 @@ class DpgSlamEngine:
     def _execute_dpg(self) -> None:
         from dpg_slam_tpu.dpg import change_detection
 
-        self.state = change_detection.execute_dpg(self.config, self.state)
+        self.state, self.last_dpg_info = change_detection.execute_dpg(
+            self.config, self.state
+        )
+
+    def map_layers(self) -> dict:
+        """The four DPG map layers as host arrays: dict name -> (P, 2)
+        points (Get{ActiveStatic,ActiveAdded,DynamicAdded,DynamicRemoved}
+        Points, dpg_slam.h:310-322)."""
+        from dpg_slam_tpu.dpg import change_detection
+
+        layers = change_detection.map_layers(self.config, self.state)
+        out = {}
+        for name, (pts, mask) in layers.items():
+            out[name] = np.asarray(pts)[np.asarray(mask)]
+        return out
 
     # -- queries ----------------------------------------------------------
     def pose(self) -> np.ndarray:

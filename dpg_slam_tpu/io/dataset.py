@@ -64,8 +64,10 @@ def make_office_world() -> SyntheticWorld:
         [4, 2, 4, 6], [4, 2, 6, 2],
     ]
     w = SyntheticWorld(np.array(segs, dtype=np.float64))
-    w = w.add_box(-5.0, -3.0, 1.2, 0.8)   # desk
-    w = w.add_box(5.5, -3.5, 1.0, 1.0)    # cabinet
+    # Furniture placed clear of the office_loop_waypoints path (a pose
+    # inside/adjacent to structure makes the raycaster carve through it).
+    w = w.add_box(-5.0, -2.2, 1.2, 0.8)   # desk
+    w = w.add_box(7.2, -3.2, 1.0, 1.0)    # cabinet
     return w
 
 
@@ -152,16 +154,16 @@ def simulate_sequence(
             ]
         )
 
-    scans = np.stack(
-        [
-            np.minimum(
-                raycast(world, laser_pose(gt[t]), params)
-                + rng.normal(0, scan_noise, params.num_beams),
-                params.range_max,
-            ).astype(np.float32)
-            for t in range(T)
-        ]
-    )
+    def noisy_scan(pose):
+        r = raycast(world, laser_pose(pose), params)
+        hit = r < params.range_max
+        # Noise only on real returns: a no-hit beam reports range_max
+        # exactly (the MAX_RANGE convention, dpg_measurement.h:43-45);
+        # noising it would fabricate phantom points at ~range_max.
+        noisy = np.where(hit, r + rng.normal(0, scan_noise, params.num_beams), r)
+        return np.minimum(noisy, params.range_max).astype(np.float32)
+
+    scans = np.stack([noisy_scan(gt[t]) for t in range(T)])
 
     # Integrate noisy odometry.
     odom = np.zeros((T, 3))

@@ -1,0 +1,194 @@
+"""DPG change-detection tests on synthetic two-pass scenes
+(SURVEY.md §4: object added/removed across sessions; BASELINE config 4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dpg_slam_tpu.config import (
+    CapacityParams,
+    DpgConfig,
+    DpgParams,
+    PoseGraphParams,
+    ScanParams,
+)
+from dpg_slam_tpu.engine import DpgSlamEngine
+from dpg_slam_tpu.io import dataset
+from dpg_slam_tpu.ops import raster
+from dpg_slam_tpu import scan
+
+
+def dpg_config():
+    return DpgConfig(
+        scan=ScanParams(num_beams=256, range_max=10.0),
+        pose_graph=PoseGraphParams(
+            icp_max_points=64,
+            icp_maximum_iterations=30,
+            max_loop_closures_per_node=4,
+        ),
+        dpg=DpgParams(
+            grid_extent_cells=256,
+            occ_grid_resolution=0.1,
+            max_submap_nodes=16,
+            num_bins_for_change_detection=36,
+        ),
+        capacity=CapacityParams(max_nodes=128, max_edges=1024, max_priors=8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rasterizer unit tests
+# ---------------------------------------------------------------------------
+
+def test_rasterize_single_beam():
+    """One beam: endpoint cell OCCUPIED, ray cells FREE, elsewhere UNKNOWN."""
+    laser = jnp.array([[0.0, 0.0, 0.0]])
+    endpoint = jnp.array([[[2.0, 0.0]]])
+    ranges = jnp.array([[2.0]])
+    occ = jnp.ones((1, 1), bool)
+    free = jnp.ones((1, 1), bool)
+    origin = jnp.array([-3.2, -3.2])
+    g = raster.rasterize_scans(laser, endpoint, ranges, occ, free, origin, 64, 0.1, 40)
+    g = np.asarray(g[0])
+    # endpoint (2,0) -> world cell (20,0) -> window cell (20+32, 0+32)
+    assert g[52, 32] == 2  # OCCUPIED
+    assert g[40, 32] == 1  # FREE along the ray
+    assert g[32, 40] == 0  # UNKNOWN off-ray
+    # occupied beats free even when a ray would cross it later
+    assert (g == 2).sum() == 1
+
+
+def test_rasterize_occupied_wins_over_free():
+    """Two beams where one ray passes through another's endpoint cell."""
+    laser = jnp.array([[0.0, 0.0, 0.0]])
+    endpoints = jnp.array([[[1.0, 0.0], [2.0, 0.0]]])
+    ranges = jnp.array([[1.0, 2.0]])
+    occ = jnp.ones((1, 2), bool)
+    free = jnp.ones((1, 2), bool)
+    origin = jnp.array([-3.2, -3.2])
+    g = np.asarray(
+        raster.rasterize_scans(laser, endpoints, ranges, occ, free, origin, 64, 0.1, 40)[0]
+    )
+    # (1, 0) endpoint stays OCCUPIED though beam 2's ray marches through it.
+    assert g[42, 32] == 2
+
+
+def test_world_to_cell_quantization():
+    cells = np.asarray(
+        raster.world_to_cell(jnp.array([[0.0, 0.0], [0.26, -0.26]]), jnp.array([-1.0, -1.0]), 0.1)
+    )
+    np.testing.assert_array_equal(cells[0], [10, 10])
+    np.testing.assert_array_equal(cells[1], [13, 7])
+
+
+# ---------------------------------------------------------------------------
+# End-to-end two-pass change detection
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def two_pass_result():
+    """Pass 1: office with a box at (2, 1.5). Pass 2: that box removed and a
+    new box appears at (-3, 1.5). Both passes drive the same loop."""
+    cfg = dpg_config()
+    base = dataset.make_office_world()
+    world1 = base.add_box(2.0, 1.5, 1.0, 1.0)        # will disappear
+    world2 = base.add_box(-3.0, 1.5, 1.0, 1.0)       # appears in pass 2
+
+    wps = dataset.office_loop_waypoints()
+    seq1 = dataset.simulate_sequence(world1, wps, cfg.scan, step=0.5, seed=3)
+    seq2 = dataset.simulate_sequence(world2, wps, cfg.scan, step=0.5, seed=4)
+
+    eng = DpgSlamEngine(cfg)
+    for t in range(len(seq1.scans)):
+        eng.observe_odometry(seq1.odometry[t])
+        eng.observe_laser(seq1.scans[t])
+    n1 = eng.num_nodes()
+    eng.increment_pass()
+    for t in range(len(seq2.scans)):
+        eng.observe_odometry(seq2.odometry[t])
+        eng.observe_laser(seq2.scans[t])
+    return cfg, eng, n1, seq1
+
+
+def test_dpg_ran_and_found_changes(two_pass_result):
+    cfg, eng, n1, _ = two_pass_result
+    assert eng.last_dpg_info is not None
+    labels = np.asarray(eng.state.labels[: eng.num_nodes()])
+    assert (labels == scan.ADDED).sum() > 0, "no points labeled ADDED"
+    assert (labels == scan.REMOVED).sum() > 0, "no points labeled REMOVED"
+
+
+def test_dpg_added_points_near_new_box(two_pass_result):
+    """ADDED labels must concentrate at the new box's location."""
+    cfg, eng, n1, _ = two_pass_result
+    layers = eng.map_layers()
+    added = layers["dynamic_added"]
+    assert len(added) > 0
+    # The pass-2 world's new box is at (-3, 1.5) world = anchored frame
+    # offset by pass-2 anchor; both passes anchor at the same start pose
+    # (-6, -4), so anchored box center is (3, 5.5).
+    d = np.linalg.norm(added - np.array([3.0, 5.5]), axis=1)
+    frac_near = (d < 1.5).mean()
+    assert frac_near > 0.5, f"only {frac_near:.0%} of ADDED points near the new box"
+
+
+def test_dpg_removed_points_near_old_box(two_pass_result):
+    """REMOVED labels must concentrate at the vanished box's location."""
+    cfg, eng, n1, _ = two_pass_result
+    layers = eng.map_layers()
+    removed = layers["dynamic_removed"]
+    assert len(removed) > 0
+    # Pass-1 box at world (2, 1.5) -> anchored (8, 5.5).
+    d = np.linalg.norm(removed - np.array([8.0, 5.5]), axis=1)
+    frac_near = (d < 1.5).mean()
+    assert frac_near > 0.5, f"only {frac_near:.0%} of REMOVED points near the old box"
+
+
+def test_dpg_removed_only_on_prior_pass_nodes(two_pass_result):
+    """REMOVED labels live on pass-1 (submap) nodes; ADDED on pass-2 nodes."""
+    cfg, eng, n1, _ = two_pass_result
+    labels = np.asarray(eng.state.labels[: eng.num_nodes()])
+    pass_ids = np.asarray(eng.state.pass_ids[: eng.num_nodes()])
+    rem_nodes = np.where((labels == scan.REMOVED).any(axis=1))[0]
+    add_nodes = np.where((labels == scan.ADDED).any(axis=1))[0]
+    assert len(rem_nodes) > 0 and np.all(pass_ids[rem_nodes] == 0)
+    assert len(add_nodes) > 0 and np.all(pass_ids[add_nodes] == 1)
+
+
+def test_dpg_sector_deactivation(two_pass_result):
+    """Pass-1 nodes that stared at the vanished box lose sectors."""
+    cfg, eng, n1, _ = two_pass_result
+    sa = np.asarray(eng.state.sector_active[:n1])
+    assert (~sa).sum() > 0, "no sectors were deactivated on pass-1 nodes"
+
+
+def test_dpg_map_layers_shapes(two_pass_result):
+    cfg, eng, n1, _ = two_pass_result
+    layers = eng.map_layers()
+    assert set(layers) == {
+        "active_static", "active_added", "dynamic_added", "dynamic_removed",
+    }
+    assert len(layers["active_static"]) > 100
+    # Active-added is a subset of dynamic-added.
+    assert len(layers["active_added"]) <= len(layers["dynamic_added"])
+
+
+def test_dpg_static_environment_no_changes():
+    """Same world twice -> (almost) nothing labeled ADDED/REMOVED."""
+    cfg = dpg_config()
+    world = dataset.make_office_world()
+    wps = dataset.office_loop_waypoints()
+    seq1 = dataset.simulate_sequence(world, wps, cfg.scan, step=0.5, seed=5)
+    seq2 = dataset.simulate_sequence(world, wps, cfg.scan, step=0.5, seed=6)
+    eng = DpgSlamEngine(cfg)
+    for t in range(len(seq1.scans)):
+        eng.observe_odometry(seq1.odometry[t])
+        eng.observe_laser(seq1.scans[t])
+    eng.increment_pass()
+    for t in range(len(seq2.scans)):
+        eng.observe_odometry(seq2.odometry[t])
+        eng.observe_laser(seq2.scans[t])
+    labels = np.asarray(eng.state.labels[: eng.num_nodes()])
+    total = (labels != scan.MAX_RANGE).sum()
+    changed = ((labels == scan.ADDED) | (labels == scan.REMOVED)).sum()
+    assert changed / total < 0.05, f"{changed}/{total} points changed in a static world"
