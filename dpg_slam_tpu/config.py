@@ -127,7 +127,11 @@ class PoseGraphParams:
 
     # Solver (replaces GTSAM iSAM2, dpg_slam.cc:316-329)
     gtsam_max_iterations: int = 100       # kept for parity (parameters.h:235)
-    gn_max_iterations: int = 20
+    gn_max_iterations: int = 20   # full solves (reoptimize)
+    incremental_gn_iterations: int = 5
+    # Per-keyframe solves are warm-started from the previous optimum, so a
+    # few LM steps reach convergence (measured: same final error as 20) —
+    # the batch-solve answer to iSAM2's single incremental update.
     gn_damping_init: float = 1e-4
     gn_tol: float = 1e-8
     robust_delta: float | None = 2.0

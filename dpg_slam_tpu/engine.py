@@ -314,7 +314,7 @@ def _keyframe_step(
         state.poses,
         state.graph,
         state.node_mask,
-        max_iterations=pg.gn_max_iterations,
+        max_iterations=pg.incremental_gn_iterations,
         damping_init=pg.gn_damping_init,
         method=solve_method,
         robust_delta=pg.robust_delta,
@@ -370,60 +370,18 @@ def _current_pose(cfg: DpgConfig, state: SlamState) -> jnp.ndarray:
 # Reoptimize (pass boundary)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "solve_method"))
-def _reoptimize(cfg: DpgConfig, state: SlamState, solve_method: str) -> SlamState:
-    """Global re-alignment at a pass boundary (reoptimize, dpg_slam.cc:35-120).
+def _reoptimize_pairs(cfg: DpgConfig, state: SlamState):
+    """Enumerate the full reoptimize ICP pair set (successive + top-K
+    closures per node, dpg_slam.cc:83-106) as flat fixed-shape arrays.
 
-    Rebuilds the graph from scratch: per-pass priors, odometry factors from
-    the stored odometry log, re-run successive ICPs seeded from *optimized*
-    poses, re-run loop-closure search for every node against its top-K
-    in-radius predecessors. All ICP pairs are batched into one call of
-    N*(K+1) fixed-shape pairs, replacing the serial O(N^2) loop that is the
-    reference's most expensive operation (SURVEY.md §3.4).
+    Returns (flat_src, flat_tgt, flat_valid, seeds, flat_gate) with
+    length N*(1+K); shared by the single-chip and distributed paths.
     """
     pg = cfg.pose_graph
     N = state.poses.shape[0]
     K = pg.max_loop_closures_per_node
     node_mask = state.node_mask
     idx = jnp.arange(N)
-
-    # --- pass-first detection: node i starts a pass if its pass id differs
-    # from node i-1's (dpg_slam.cc:43-50).
-    prev_pass = jnp.concatenate([jnp.full((1,), -1, jnp.int32), state.pass_ids[:-1]])
-    is_pass_first = node_mask & (state.pass_ids != prev_pass)
-
-    # --- priors
-    prior_sigmas = jnp.array(
-        [pg.new_pass_x_std_dev, pg.new_pass_y_std_dev, pg.new_pass_theta_std_dev],
-        jnp.float32,
-    )
-    prior_si = fg.sqrt_info_from_sigmas(prior_sigmas)
-    P = state.graph.prior_idx.shape[0]
-    # Pack pass-first node indices into the fixed prior capacity.
-    ppos = jnp.cumsum(is_pass_first.astype(jnp.int32)) - 1
-    prior_idx = jnp.zeros((P,), jnp.int32)
-    prior_idx = prior_idx.at[jnp.where(is_pass_first, ppos, P)].set(idx, mode="drop")
-    num_priors = jnp.sum(is_pass_first).astype(jnp.int32)
-
-    graph = fg.FactorGraph(
-        prior_idx=prior_idx,
-        prior_val=jnp.zeros((P, 3), jnp.float32),
-        prior_sqrt_info=jnp.broadcast_to(prior_si, (P, 3, 3)),
-        num_priors=num_priors,
-        edge_idx=jnp.zeros_like(state.graph.edge_idx),
-        edge_meas=jnp.zeros_like(state.graph.edge_meas),
-        edge_sqrt_info=jnp.zeros_like(state.graph.edge_sqrt_info),
-        num_edges=jnp.zeros((), jnp.int32),
-    )
-
-    # --- odometry factors between successive same-pass nodes
-    # (dpg_slam.cc:53-75), displacement from the stored odometry log.
-    odom_displ = geom.between(
-        jnp.roll(state.odom_poses, 1, axis=0), state.odom_poses
-    )  # (N, 3): displ[i] = odom motion from node i-1 to i
-    odo_sig = jax.vmap(lambda d: _motion_model_sigmas(cfg, d))(odom_displ)
-    odo_si = jax.vmap(fg.sqrt_info_from_sigmas)(odo_sig)
-    odo_valid = node_mask & (idx > 0) & ~is_pass_first & jnp.asarray(pg.odometry_constraints)
 
     # --- successive-scan ICP pairs (dpg_slam.cc:83-89): (i-1, i)
     succ_valid = node_mask & (idx > 0)
@@ -454,8 +412,6 @@ def _reoptimize(cfg: DpgConfig, state: SlamState, solve_method: str) -> SlamStat
     _, cand_idx = jax.lax.top_k(-score, K)          # (N, K) target j per source i
     cand_valid = jnp.take_along_axis(cand_ok, cand_idx, axis=1)  # (N, K)
 
-    # --- assemble the full ICP batch: for node i, targets
-    # [i-1, cand_0..K-1]; run in chunks to bound memory.
     tgt_idx_all = jnp.concatenate(
         [jnp.maximum(idx - 1, 0)[:, None], cand_idx], axis=1
     )  # (N, 1+K)
@@ -467,51 +423,71 @@ def _reoptimize(cfg: DpgConfig, state: SlamState, solve_method: str) -> SlamStat
 
     seeds = geom.between(state.poses[flat_tgt], state.poses[flat_src])
 
-    chunk = 256
-    n_flat = flat_src.shape[0]
-    pad = (-n_flat) % chunk
-    if pad:
-        flat_src = jnp.concatenate([flat_src, jnp.zeros((pad,), flat_src.dtype)])
-        flat_tgt = jnp.concatenate([flat_tgt, jnp.zeros((pad,), flat_tgt.dtype)])
-        flat_valid = jnp.concatenate([flat_valid, jnp.zeros((pad,), bool)])
-        seeds = jnp.concatenate([seeds, jnp.zeros((pad, 3), seeds.dtype)])
-
     # Successive pairs (slot 0 of each node's 1+K block) are well-seeded;
     # closures get the coarse-to-fine gate.
     flat_is_succ = (jnp.arange(flat_src.shape[0]) % (1 + K)) == 0
     flat_gate = jnp.where(flat_is_succ, 1.0, pg.icp_coarse_gate_multiplier).astype(
         jnp.float32
     )
+    return flat_src, flat_tgt, flat_valid, seeds, flat_gate
 
-    def run_chunk(c):
-        s = c * chunk
-        src_i = jax.lax.dynamic_slice_in_dim(flat_src, s, chunk)
-        tgt_i = jax.lax.dynamic_slice_in_dim(flat_tgt, s, chunk)
-        val_i = jax.lax.dynamic_slice_in_dim(flat_valid, s, chunk)
-        seed_i = jax.lax.dynamic_slice_in_dim(seeds, s, chunk)
-        gate_i = jax.lax.dynamic_slice_in_dim(flat_gate, s, chunk)
-        res = icp.icp_align(
-            state.cloud[src_i],
-            state.cloud_mask[src_i] & val_i[:, None],
-            state.cloud[tgt_i],
-            state.cloud_mask[tgt_i] & val_i[:, None],
-            seed_i,
-            pg,
-            tgt_normals=state.cloud_normals[tgt_i],
-            gate_multiplier=gate_i,
-        )
-        return res
 
-    n_chunks = flat_src.shape[0] // chunk
-    results = jax.lax.map(run_chunk, jnp.arange(n_chunks))
-    transforms = results.transform.reshape(-1, 3)[:n_flat]
-    converged = results.converged.reshape(-1)[:n_flat]
-    covs = results.covariance.reshape(-1, 3, 3)[:n_flat]
-    flat_src = flat_src[:n_flat]
-    flat_tgt = flat_tgt[:n_flat]
-    flat_valid = flat_valid[:n_flat]
+def _reoptimize_pack_graph(
+    cfg: DpgConfig,
+    state: SlamState,
+    flat_src: jnp.ndarray,
+    flat_tgt: jnp.ndarray,
+    flat_valid: jnp.ndarray,
+    transforms: jnp.ndarray,
+    converged: jnp.ndarray,
+    covs: jnp.ndarray,
+) -> fg.FactorGraph:
+    """Rebuild the factor graph from scratch out of the reoptimize ICP
+    results: per-pass priors (dpg_slam.cc:43-50), odometry factors from the
+    stored odometry log (cc:53-75), and observation factors."""
+    pg = cfg.pose_graph
+    N = state.poses.shape[0]
+    K = pg.max_loop_closures_per_node
+    node_mask = state.node_mask
+    idx = jnp.arange(N)
 
-    # --- pack factors into the edge arrays.
+    # --- pass-first detection: node i starts a pass if its pass id differs
+    # from node i-1's (dpg_slam.cc:43-50).
+    prev_pass = jnp.concatenate([jnp.full((1,), -1, jnp.int32), state.pass_ids[:-1]])
+    is_pass_first = node_mask & (state.pass_ids != prev_pass)
+
+    # --- priors
+    prior_sigmas = jnp.array(
+        [pg.new_pass_x_std_dev, pg.new_pass_y_std_dev, pg.new_pass_theta_std_dev],
+        jnp.float32,
+    )
+    prior_si = fg.sqrt_info_from_sigmas(prior_sigmas)
+    P = state.graph.prior_idx.shape[0]
+    ppos = jnp.cumsum(is_pass_first.astype(jnp.int32)) - 1
+    prior_idx = jnp.zeros((P,), jnp.int32)
+    prior_idx = prior_idx.at[jnp.where(is_pass_first, ppos, P)].set(idx, mode="drop")
+    num_priors = jnp.sum(is_pass_first).astype(jnp.int32)
+
+    graph = fg.FactorGraph(
+        prior_idx=prior_idx,
+        prior_val=jnp.zeros((P, 3), jnp.float32),
+        prior_sqrt_info=jnp.broadcast_to(prior_si, (P, 3, 3)),
+        num_priors=num_priors,
+        edge_idx=jnp.zeros_like(state.graph.edge_idx),
+        edge_meas=jnp.zeros_like(state.graph.edge_meas),
+        edge_sqrt_info=jnp.zeros_like(state.graph.edge_sqrt_info),
+        num_edges=jnp.zeros((), jnp.int32),
+    )
+
+    # --- odometry factors between successive same-pass nodes (cc:53-75).
+    odom_displ = geom.between(
+        jnp.roll(state.odom_poses, 1, axis=0), state.odom_poses
+    )  # (N, 3): displ[i] = odom motion from node i-1 to i
+    odo_sig = jax.vmap(lambda d: _motion_model_sigmas(cfg, d))(odom_displ)
+    odo_si = jax.vmap(fg.sqrt_info_from_sigmas)(odo_sig)
+    odo_valid = node_mask & (idx > 0) & ~is_pass_first & jnp.asarray(pg.odometry_constraints)
+
+    n_flat = flat_src.shape[0]
     # Successive pairs keep their factor even when not converged
     # (dpg_slam.cc:86-89); closures require convergence.
     is_succ = (jnp.arange(n_flat) % (1 + K)) == 0
@@ -544,9 +520,68 @@ def _reoptimize(cfg: DpgConfig, state: SlamState, solve_method: str) -> SlamStat
     edge_meas = edge_meas.at[obs_slot].set(transforms, mode="drop")
     edge_si = edge_si.at[obs_slot].set(obs_si, mode="drop")
 
-    graph = graph._replace(
+    return graph._replace(
         edge_idx=edge_idx, edge_meas=edge_meas, edge_sqrt_info=edge_si,
         num_edges=num_edges,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "solve_method"))
+def _reoptimize(cfg: DpgConfig, state: SlamState, solve_method: str) -> SlamState:
+    """Global re-alignment at a pass boundary (reoptimize, dpg_slam.cc:35-120).
+
+    Rebuilds the graph from scratch: per-pass priors, odometry factors from
+    the stored odometry log, re-run successive ICPs seeded from *optimized*
+    poses, re-run loop-closure search for every node against its top-K
+    in-radius predecessors. All ICP pairs are batched into one call of
+    N*(K+1) fixed-shape pairs, replacing the serial O(N^2) loop that is the
+    reference's most expensive operation (SURVEY.md §3.4).
+    """
+    pg = cfg.pose_graph
+    node_mask = state.node_mask
+
+    flat_src, flat_tgt, flat_valid, seeds, flat_gate = _reoptimize_pairs(cfg, state)
+
+    chunk = 256
+    n_flat = flat_src.shape[0]
+    pad = (-n_flat) % chunk
+    if pad:
+        flat_src = jnp.concatenate([flat_src, jnp.zeros((pad,), flat_src.dtype)])
+        flat_tgt = jnp.concatenate([flat_tgt, jnp.zeros((pad,), flat_tgt.dtype)])
+        flat_valid = jnp.concatenate([flat_valid, jnp.zeros((pad,), bool)])
+        seeds = jnp.concatenate([seeds, jnp.zeros((pad, 3), seeds.dtype)])
+        flat_gate = jnp.concatenate([flat_gate, jnp.ones((pad,), flat_gate.dtype)])
+
+    def run_chunk(c):
+        s = c * chunk
+        src_i = jax.lax.dynamic_slice_in_dim(flat_src, s, chunk)
+        tgt_i = jax.lax.dynamic_slice_in_dim(flat_tgt, s, chunk)
+        val_i = jax.lax.dynamic_slice_in_dim(flat_valid, s, chunk)
+        seed_i = jax.lax.dynamic_slice_in_dim(seeds, s, chunk)
+        gate_i = jax.lax.dynamic_slice_in_dim(flat_gate, s, chunk)
+        res = icp.icp_align(
+            state.cloud[src_i],
+            state.cloud_mask[src_i] & val_i[:, None],
+            state.cloud[tgt_i],
+            state.cloud_mask[tgt_i] & val_i[:, None],
+            seed_i,
+            pg,
+            tgt_normals=state.cloud_normals[tgt_i],
+            gate_multiplier=gate_i,
+        )
+        return res
+
+    n_chunks = flat_src.shape[0] // chunk
+    results = jax.lax.map(run_chunk, jnp.arange(n_chunks))
+    transforms = results.transform.reshape(-1, 3)[:n_flat]
+    converged = results.converged.reshape(-1)[:n_flat]
+    covs = results.covariance.reshape(-1, 3, 3)[:n_flat]
+    flat_src = flat_src[:n_flat]
+    flat_tgt = flat_tgt[:n_flat]
+    flat_valid = flat_valid[:n_flat]
+
+    graph = _reoptimize_pack_graph(
+        cfg, state, flat_src, flat_tgt, flat_valid, transforms, converged, covs
     )
 
     poses, _ = fg.solve(

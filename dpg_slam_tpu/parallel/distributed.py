@@ -1,0 +1,305 @@
+"""Distributed ICP and pose-graph solving over a device mesh.
+
+Two parallelism strategies (SURVEY.md §2 'new first-class components'):
+
+1. **Pair parallelism** (`sharded_icp_align`): the batched ICP kernel is
+   embarrassingly parallel over the pair axis — shard it with a
+   NamedSharding and let pjit place per-pair work on its shard's device.
+   This replaces the reference's serial per-pair loops
+   (dpg_slam.cc:275-304, :41-108) with mesh-wide batched execution.
+
+2. **Distributed graph solve** (`distributed_solve`): edges (factors) are
+   sharded across devices; node poses are replicated (a pose graph has
+   ~3 floats/node — tiny next to its edges). Each CG matvec computes its
+   local edge contributions and `psum`s over the mesh — the classic
+   distributed normal-equations CG, expressed with shard_map so the
+   collective rides ICI. Replaces GTSAM iSAM2 (dpg_slam.cc:316-329) at
+   multi-chip scale; the single-chip path is graph/factor_graph.solve.
+
+All functions are functional and jit-compatible; they accept a Mesh and
+return ordinary arrays (replicated outputs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from dpg_slam_tpu import geom
+from dpg_slam_tpu.config import PoseGraphParams
+from dpg_slam_tpu.graph import factor_graph as fg
+from dpg_slam_tpu.ops import icp
+from dpg_slam_tpu.parallel.mesh import PAIR_AXIS
+
+__all__ = ["sharded_icp_align", "distributed_solve", "distributed_reoptimize"]
+
+
+def sharded_icp_align(
+    mesh: Mesh,
+    src: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    init_guess: jnp.ndarray,
+    params: PoseGraphParams,
+    **kwargs,
+) -> icp.ICPResult:
+    """Batched ICP with the pair axis sharded across the mesh.
+
+    The pair count must be divisible by the mesh size (pad with masked
+    pairs otherwise). Outputs are fully replicated.
+    """
+    n = mesh.devices.size
+    B = src.shape[0]
+    if B % n != 0:
+        raise ValueError(f"pair count {B} not divisible by mesh size {n}")
+    shard = NamedSharding(mesh, P(PAIR_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    src = jax.device_put(src, shard)
+    src_mask = jax.device_put(src_mask, shard)
+    tgt = jax.device_put(tgt, shard)
+    tgt_mask = jax.device_put(tgt_mask, shard)
+    init_guess = jax.device_put(init_guess, shard)
+    if kwargs.get("tgt_normals") is not None:
+        kwargs["tgt_normals"] = jax.device_put(kwargs["tgt_normals"], shard)
+    if kwargs.get("gate_multiplier") is not None:
+        kwargs["gate_multiplier"] = jax.device_put(kwargs["gate_multiplier"], shard)
+
+    res = icp.icp_align(src, src_mask, tgt, tgt_mask, init_guess, params, **kwargs)
+    return icp.ICPResult(*[jax.device_put(leaf, rep) for leaf in res])
+
+
+# ---------------------------------------------------------------------------
+# Distributed CG solve over sharded edges
+# ---------------------------------------------------------------------------
+
+def _local_normal_contrib(poses, edge_idx, edge_meas, edge_sqrt_info, edge_mask):
+    """Per-shard between-factor normal-equation pieces: (diag add, off
+    blocks, rhs add) from the LOCAL edges only."""
+    g = fg.FactorGraph(
+        prior_idx=jnp.zeros((1,), jnp.int32),
+        prior_val=jnp.zeros((1, 3), jnp.float32),
+        prior_sqrt_info=jnp.zeros((1, 3, 3), jnp.float32),
+        num_priors=jnp.zeros((), jnp.int32),
+        edge_idx=edge_idx,
+        edge_meas=edge_meas,
+        edge_sqrt_info=edge_sqrt_info,
+        num_edges=jnp.sum(edge_mask).astype(jnp.int32),
+    )
+    # Local edges are pre-masked: use the mask directly instead of counts.
+    er, Ji, Jj = fg._between_residual_jac(poses, g)
+    em = edge_mask.astype(poses.dtype)
+    Ji = Ji * em[:, None, None]
+    Jj = Jj * em[:, None, None]
+    er = er * em[:, None]
+
+    N = poses.shape[0]
+    diag = jnp.zeros((N, 3, 3), poses.dtype)
+    rhs = jnp.zeros((N, 3), poses.dtype)
+    i_idx = edge_idx[:, 0]
+    j_idx = edge_idx[:, 1]
+    diag = diag.at[i_idx].add(jnp.einsum("eba,ebc->eac", Ji, Ji))
+    diag = diag.at[j_idx].add(jnp.einsum("eba,ebc->eac", Jj, Jj))
+    off = jnp.einsum("eba,ebc->eac", Ji, Jj)
+    rhs = rhs.at[i_idx].add(jnp.einsum("eba,eb->ea", Ji, er))
+    rhs = rhs.at[j_idx].add(jnp.einsum("eba,eb->ea", Jj, er))
+    err = 0.5 * jnp.sum(er * er)
+    return diag, off, rhs, err
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "max_iterations", "cg_iterations")
+)
+def distributed_solve(
+    mesh: Mesh,
+    poses: jnp.ndarray,          # (N, 3) replicated
+    node_mask: jnp.ndarray,      # (N,)
+    prior_idx: jnp.ndarray,      # (Pr,) replicated (priors are few)
+    prior_val: jnp.ndarray,      # (Pr, 3)
+    prior_sqrt_info: jnp.ndarray,  # (Pr, 3, 3)
+    prior_mask: jnp.ndarray,     # (Pr,)
+    edge_idx: jnp.ndarray,       # (E, 2)  E divisible by mesh size
+    edge_meas: jnp.ndarray,      # (E, 3)
+    edge_sqrt_info: jnp.ndarray, # (E, 3, 3)
+    edge_mask: jnp.ndarray,      # (E,)
+    *,
+    max_iterations: int = 15,
+    cg_iterations: int = 48,
+    damping: float = 1e-4,
+) -> jnp.ndarray:
+    """Gauss-Newton with distributed PCG: edges sharded over the mesh,
+    poses replicated, per-iteration normal equations psum'd over ICI.
+
+    Returns optimized poses (replicated). Damping is fixed (no LM
+    accept/reject) — each GN step re-linearizes at the psum'd consensus.
+    """
+    n = mesh.devices.size
+    E = edge_idx.shape[0]
+    assert E % n == 0, f"edge capacity {E} must be divisible by mesh size {n}"
+
+    def gn_body(poses_rep, edge_idx_l, edge_meas_l, edge_si_l, edge_mask_l):
+        """Runs per-device under shard_map: edge_* are local shards."""
+
+        def one_gn_step(poses, _):
+            diag_l, off_l, rhs_l, err_l = _local_normal_contrib(
+                poses, edge_idx_l, edge_meas_l, edge_si_l, edge_mask_l
+            )
+            # Priors are replicated; fold them in on every device but scale
+            # by 1/n so the psum counts them once.
+            pr, pJ = fg._prior_residual_jac(
+                poses,
+                fg.FactorGraph(
+                    prior_idx=prior_idx,
+                    prior_val=prior_val,
+                    prior_sqrt_info=prior_sqrt_info,
+                    num_priors=jnp.sum(prior_mask).astype(jnp.int32),
+                    edge_idx=jnp.zeros((1, 2), jnp.int32),
+                    edge_meas=jnp.zeros((1, 3), jnp.float32),
+                    edge_sqrt_info=jnp.zeros((1, 3, 3), jnp.float32),
+                    num_edges=jnp.zeros((), jnp.int32),
+                ),
+            )
+            pm = prior_mask.astype(poses.dtype)
+            pJ = pJ * pm[:, None, None]
+            pr = pr * pm[:, None]
+            inv_n = 1.0 / n
+            diag_l = diag_l.at[prior_idx].add(
+                inv_n * jnp.einsum("pba,pbc->pac", pJ, pJ)
+            )
+            rhs_l = rhs_l.at[prior_idx].add(
+                inv_n * jnp.einsum("pba,pb->pa", pJ, pr)
+            )
+
+            # Consensus normal equations over the mesh (ICI psum).
+            diag = jax.lax.psum(diag_l, PAIR_AXIS)
+            rhs = jax.lax.psum(rhs_l, PAIR_AXIS)
+
+            eye = jnp.eye(3, dtype=poses.dtype)
+            diag = jnp.where(node_mask[:, None, None], diag, eye[None])
+            rhs = jnp.where(node_mask[:, None], rhs, 0.0)
+            diag = diag + damping * eye[None]
+            Minv = jnp.linalg.inv(diag)
+
+            def matvec(v):
+                out = jnp.einsum("nab,nb->na", diag, v)
+                em = edge_mask_l.astype(v.dtype)[:, None]
+                i_idx = edge_idx_l[:, 0]
+                j_idx = edge_idx_l[:, 1]
+                loc = jnp.zeros_like(v)
+                loc = loc.at[i_idx].add(
+                    em * jnp.einsum("eab,eb->ea", off_l, v[j_idx])
+                )
+                loc = loc.at[j_idx].add(
+                    em * jnp.einsum("eba,eb->ea", off_l, v[i_idx])
+                )
+                return out + jax.lax.psum(loc, PAIR_AXIS)
+
+            def precond(v):
+                return jnp.einsum("nab,nb->na", Minv, v)
+
+            x = jnp.zeros_like(rhs)
+            r = rhs - matvec(x)
+            z = precond(r)
+            p = r * 0 + z
+            rz = jnp.sum(r * z)
+
+            def cg_body_fixed(carry, _):
+                x, r, p, rz = carry
+                Ap = matvec(p)
+                denom = jnp.sum(p * Ap)
+                alpha = jnp.where(denom > 1e-20, rz / denom, 0.0)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = precond(r)
+                rz_new = jnp.sum(r * z)
+                beta = jnp.where(rz > 1e-20, rz_new / rz, 0.0)
+                p = z + beta * p
+                return (x, r, p, rz_new), None
+
+            (x, _, _, _), _ = jax.lax.scan(
+                cg_body_fixed, (x, r, p, rz), None, length=cg_iterations
+            )
+            new_poses = poses - x
+            new_poses = new_poses.at[:, 2].set(geom.wrap_angle(new_poses[:, 2]))
+            return new_poses, None
+
+        poses_out, _ = jax.lax.scan(
+            one_gn_step, poses_rep, None, length=max_iterations
+        )
+        return poses_out
+
+    sharded = shard_map(
+        gn_body,
+        mesh=mesh,
+        in_specs=(P(), P(PAIR_AXIS), P(PAIR_AXIS), P(PAIR_AXIS), P(PAIR_AXIS)),
+        out_specs=P(),
+    )
+    return sharded(poses, edge_idx, edge_meas, edge_sqrt_info, edge_mask)
+
+
+def distributed_reoptimize(mesh: Mesh, cfg, state):
+    """Multi-chip pass-boundary reoptimize (the most expensive operation in
+    the system — the reference's serial O(N^2) loop, dpg_slam.cc:35-120):
+
+      1. all successive + loop-closure ICP pairs, pair-axis sharded over
+         the mesh (pure data parallelism, no communication per pair);
+      2. factor rebuild on replicated arrays;
+      3. distributed GN/CG solve with edges sharded over the mesh.
+
+    Returns an updated SlamState (poses + rebuilt graph).
+    """
+    from dpg_slam_tpu import engine as eng_mod
+
+    pg = cfg.pose_graph
+    n = mesh.devices.size
+    N = state.poses.shape[0]
+    K = pg.max_loop_closures_per_node
+
+    pairs = eng_mod._reoptimize_pairs(cfg, state)
+    flat_src, flat_tgt, flat_valid, seeds, flat_gate = pairs
+
+    pad = (-flat_src.shape[0]) % n
+    if pad:
+        flat_src = jnp.concatenate([flat_src, jnp.zeros((pad,), flat_src.dtype)])
+        flat_tgt = jnp.concatenate([flat_tgt, jnp.zeros((pad,), flat_tgt.dtype)])
+        flat_valid = jnp.concatenate([flat_valid, jnp.zeros((pad,), bool)])
+        seeds = jnp.concatenate([seeds, jnp.zeros((pad, 3), seeds.dtype)])
+        flat_gate = jnp.concatenate([flat_gate, jnp.ones((pad,), flat_gate.dtype)])
+
+    res = sharded_icp_align(
+        mesh,
+        state.cloud[flat_src],
+        state.cloud_mask[flat_src] & flat_valid[:, None],
+        state.cloud[flat_tgt],
+        state.cloud_mask[flat_tgt] & flat_valid[:, None],
+        seeds,
+        pg,
+        tgt_normals=state.cloud_normals[flat_tgt],
+        gate_multiplier=flat_gate,
+    )
+
+    graph = eng_mod._reoptimize_pack_graph(
+        cfg, state, flat_src, flat_tgt, flat_valid,
+        res.transform, res.converged, res.covariance,
+    )
+
+    poses = distributed_solve(
+        mesh,
+        state.poses,
+        state.node_mask,
+        graph.prior_idx,
+        graph.prior_val,
+        graph.prior_sqrt_info,
+        graph.prior_mask,
+        graph.edge_idx,
+        graph.edge_meas,
+        graph.edge_sqrt_info,
+        graph.edge_mask,
+        max_iterations=pg.gn_max_iterations,
+    )
+    return state._replace(poses=poses, graph=graph)

@@ -1,0 +1,149 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+'multi-host tests via xla_force_host_platform_device_count'). Includes the
+numerical parity harness: single-device vs sharded solves must agree."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dpg_slam_tpu import geom
+from dpg_slam_tpu.config import CapacityParams, DpgConfig, PoseGraphParams, ScanParams
+from dpg_slam_tpu.graph import factor_graph as fg
+from dpg_slam_tpu.ops import icp
+from dpg_slam_tpu.parallel import make_mesh, sharded_icp_align, distributed_solve
+from dpg_slam_tpu.parallel.distributed import distributed_reoptimize
+
+from test_graph import build_gtsam_fixture, EXPECTED
+from test_icp import make_room_scan
+
+
+def test_make_mesh():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    with pytest.raises(ValueError):
+        make_mesh(1000)
+
+
+def test_sharded_icp_matches_single_device():
+    """Parity: the sharded pair-axis ICP must produce identical results."""
+    rng = np.random.default_rng(0)
+    B = 8
+    tgts, srcs, poses = [], [], []
+    for _ in range(B):
+        tgt = make_room_scan(rng)
+        pose = rng.uniform(-0.3, 0.3, 3)
+        src = np.asarray(geom.inv_apply(jnp.array(pose), jnp.array(tgt)))
+        tgts.append(tgt); srcs.append(src); poses.append(pose)
+    params = PoseGraphParams()
+    mask = jnp.ones((B, 256), dtype=bool)
+    src = jnp.array(np.stack(srcs), jnp.float32)
+    tgt = jnp.array(np.stack(tgts), jnp.float32)
+    seeds = jnp.zeros((B, 3))
+
+    single = icp.icp_align(src, mask, tgt, mask, seeds, params)
+    mesh = make_mesh(8)
+    sharded = sharded_icp_align(mesh, src, mask, tgt, mask, seeds, params)
+
+    np.testing.assert_allclose(
+        np.asarray(single.transform), np.asarray(sharded.transform), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.converged), np.asarray(sharded.converged)
+    )
+
+
+def test_distributed_solve_gtsam_fixture():
+    """The distributed edge-sharded CG solve reaches the same optimum as
+    the single-chip solver on the canonical 5-pose fixture."""
+    g, init, mask = build_gtsam_fixture(capacity_nodes=8, capacity_edges=16)
+    mesh = make_mesh(8)
+    poses = distributed_solve(
+        mesh,
+        init,
+        mask,
+        g.prior_idx,
+        g.prior_val,
+        g.prior_sqrt_info,
+        g.prior_mask,
+        g.edge_idx,
+        g.edge_meas,
+        g.edge_sqrt_info,
+        g.edge_mask,
+        max_iterations=30,
+    )
+    got = np.asarray(poses[:5])
+    np.testing.assert_allclose(got[:, :2], EXPECTED[:, :2], atol=5e-3)
+    ang_err = np.abs(np.angle(np.exp(1j * (got[:, 2] - EXPECTED[:, 2]))))
+    np.testing.assert_allclose(ang_err, 0.0, atol=5e-3)
+
+
+def test_distributed_vs_single_chip_parity_random_graph():
+    """Numerical parity harness: random pose graph, distributed vs dense."""
+    rng = np.random.default_rng(7)
+    N, cap = 24, 32
+    g = fg.empty_graph(max_priors=4, max_edges=64)
+    g = fg.add_prior(
+        g, jnp.int32(0), jnp.zeros(3), fg.sqrt_info_from_sigmas(jnp.array([0.1, 0.1, 0.05]))
+    )
+    # Chain + random extra edges, consistent with a ground-truth trajectory.
+    gt = np.cumsum(rng.uniform(-0.5, 1.0, (N, 3)) * np.array([1, 0.3, 0.3]), axis=0)
+    gt[0] = 0
+    model = fg.sqrt_info_from_sigmas(jnp.array([0.1, 0.1, 0.05]))
+    for i in range(N - 1):
+        meas = geom.between(jnp.array(gt[i]), jnp.array(gt[i + 1]))
+        g = fg.add_between(g, jnp.int32(i), jnp.int32(i + 1), meas, model)
+    for _ in range(10):
+        i, j = sorted(rng.choice(N, 2, replace=False))
+        meas = geom.between(jnp.array(gt[i]), jnp.array(gt[j]))
+        g = fg.add_between(g, jnp.int32(i), jnp.int32(j), meas, model)
+
+    init = jnp.zeros((cap, 3)).at[:N].set(
+        jnp.array(gt + rng.normal(0, 0.1, (N, 3)), jnp.float32)
+    )
+    mask = jnp.arange(cap) < N
+
+    dense_poses, _ = fg.solve(init, g, mask, max_iterations=30, method="dense")
+    mesh = make_mesh(8)
+    dist_poses = distributed_solve(
+        mesh, init, mask,
+        g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
+        g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
+        max_iterations=30,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense_poses[:N]), np.asarray(dist_poses[:N]), atol=2e-3
+    )
+
+
+def test_distributed_reoptimize_end_to_end():
+    """Full multi-chip reoptimize on a small engine session."""
+    from dpg_slam_tpu.engine import DpgSlamEngine
+    from dpg_slam_tpu.io import dataset
+    from dpg_slam_tpu.utils.metrics import ate_rmse, to_anchor_frame
+
+    cfg = DpgConfig(
+        scan=ScanParams(num_beams=256),
+        pose_graph=PoseGraphParams(
+            icp_max_points=64, icp_maximum_iterations=20, max_loop_closures_per_node=3
+        ),
+        capacity=CapacityParams(max_nodes=64, max_edges=512, max_priors=8),
+    )
+    world = dataset.make_office_world()
+    seq = dataset.simulate_sequence(
+        world, dataset.office_loop_waypoints(), cfg.scan, step=0.5, seed=1,
+        odom_noise_transl=0.02, odom_noise_rot=0.008,
+    )
+    eng = DpgSlamEngine(cfg)
+    kf = []
+    for t in range(len(seq.scans)):
+        eng.observe_odometry(seq.odometry[t])
+        if eng.observe_laser(seq.scans[t]):
+            kf.append(t)
+
+    mesh = make_mesh(8)
+    new_state = distributed_reoptimize(mesh, cfg, eng.state)
+    gt = to_anchor_frame(seq.ground_truth[kf])
+    ate = ate_rmse(np.asarray(new_state.poses[: len(kf)]), gt)
+    assert ate < 0.3, f"distributed reoptimize ATE {ate}"
+    assert int(new_state.graph.num_edges) > len(kf)  # odom + obs edges exist
