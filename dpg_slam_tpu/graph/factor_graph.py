@@ -427,8 +427,20 @@ def solve(
     """
     err0 = total_error(poses, g, robust_delta)
 
-    def step(carry, _):
-        poses, damping, err, accepted = carry
+    # LM loop as a while_loop with early termination: warm-started
+    # incremental solves typically converge in 1-2 iterations, and paying
+    # for max_iterations of dense factorizations per keyframe is the
+    # dominant pipeline cost otherwise. `done` latches when an accepted
+    # step improves the error by less than rel_tol (or a rejected step
+    # fails to shrink it meaningfully).
+    rel_tol = 1e-6
+
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return (it < max_iterations) & ~done
+
+    def step(carry):
+        poses, damping, err, accepted, it, done = carry
         eq = _assemble(poses, g, node_mask, robust_delta)
         if method == "dense":
             delta = _dense_solve(eq, g, damping)
@@ -438,12 +450,21 @@ def solve(
         new_poses = new_poses.at[:, 2].set(geom.wrap_angle(new_poses[:, 2]))
         new_err = total_error(new_poses, g, robust_delta)
         accept = new_err < err
+        improvement = (err - new_err) / jnp.maximum(err, 1e-12)
+        done = accept & (improvement < rel_tol)
         poses = jnp.where(accept, new_poses, poses)
         err = jnp.where(accept, new_err, err)
         damping = jnp.where(accept, damping * 0.5, damping * 4.0)
         damping = jnp.clip(damping, 1e-9, 1e6)
-        return (poses, damping, err, accepted + accept.astype(jnp.int32)), None
+        return (poses, damping, err, accepted + accept.astype(jnp.int32), it + 1, done)
 
-    init = (poses, jnp.asarray(damping_init, poses.dtype), err0, jnp.zeros((), jnp.int32))
-    (poses, _, err, accepted), _ = jax.lax.scan(step, init, None, length=max_iterations)
+    init = (
+        poses,
+        jnp.asarray(damping_init, poses.dtype),
+        err0,
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), bool),
+    )
+    poses, _, err, accepted, _, _ = jax.lax.while_loop(cond, step, init)
     return poses, SolveStats(initial_error=err0, final_error=err, iterations=accepted)

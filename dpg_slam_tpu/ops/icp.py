@@ -151,21 +151,28 @@ def _icp_iteration(
     d2 = jnp.where(src_mask[:, :, None], d2, _BIG)
     d2 = jnp.where(tgt_mask[:, None, :], d2, _BIG)
 
-    nn_idx = jnp.argmin(d2, axis=-1)                     # (B, P) target index
-    nn_d2 = jnp.min(d2, axis=-1)                          # (B, P)
-
-    w = src_mask & (nn_d2 <= max_corr_sq)
+    # Correspondences as a one-hot MATCH MATRIX instead of argmin+gather:
+    # M[i, j] = (j is i's row-min) [& (i is j's col-min) for reciprocal
+    # mutual-NN, PCL setUseReciprocalCorrespondences, dpg_slam.cc:412]
+    # & gate. Matched targets/normals are then recovered with matmuls
+    # (q = M_norm @ tgt), which tile onto the MXU — no dynamic gathers.
+    rowmin = jnp.min(d2, axis=-1, keepdims=True)          # (B, P, 1)
+    nn_d2 = rowmin[..., 0]
+    M = d2 <= rowmin
     if reciprocal:
-        # Mutual nearest neighbors: src i -> tgt j is kept only if tgt j's
-        # nearest source is i (PCL setUseReciprocalCorrespondences,
-        # dpg_slam.cc:412).
-        rev_idx = jnp.argmin(d2, axis=-2)                 # (B, Pt) source index
-        back = jnp.take_along_axis(rev_idx, nn_idx, axis=-1)  # (B, P)
-        w = w & (back == jnp.arange(P)[None, :])
+        colmin = jnp.min(d2, axis=-2, keepdims=True)      # (B, 1, Pt)
+        M = M & (d2 <= colmin)
+    M = M & (d2 <= max_corr_sq[:, None, None])
+    Mf = M.astype(jnp.float32)
+    row_cnt = jnp.sum(Mf, axis=-1)                        # (B, P)
+    w = src_mask & (row_cnt > 0)
+    Mn = Mf / jnp.maximum(row_cnt, 1.0)[..., None]        # row-normalized
 
     wf = w.astype(jnp.float32)
-    q = jnp.take_along_axis(tgt, nn_idx[..., None], axis=-2)          # (B, P, 2)
-    n = jnp.take_along_axis(tgt_normals, nn_idx[..., None], axis=-2)  # (B, P, 2)
+    q = jnp.einsum("bpq,bqc->bpc", Mn, tgt, preferred_element_type=jnp.float32)
+    n = jnp.einsum(
+        "bpq,bqc->bpc", Mn, tgt_normals, preferred_element_type=jnp.float32
+    )
 
     err = moved - q  # (B, P, 2)
 
@@ -298,7 +305,7 @@ def _icp_align_impl(
             tgt,
             tgt_mask,
             tgt_normals,
-            max_corr_sq=gate_sq[:, None],
+            max_corr_sq=gate_sq,
             reciprocal=reciprocal,
             point_to_line=point_to_line,
             epsilon=epsilon,
