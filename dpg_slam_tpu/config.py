@@ -62,6 +62,11 @@ class PoseGraphParams:
     downsample_icp_points_ratio: int = 5  # keep 1 in 5 points (parameters.h:402)
     icp_point_to_line: bool = True        # TPU design: point-to-line ICP
     icp_max_points: int = 256             # padded per-cloud point budget after downsample
+    use_pallas_icp: bool = False
+    # True routes batched point-to-line ICP through the fused Pallas TPU
+    # kernel (ops/icp_pallas.py); False uses the XLA array program. Both
+    # produce the same results (tests/test_icp_pallas.py); the kernel is
+    # currently ~7% faster on v5e with more headroom to come.
     icp_coarse_gate_multiplier: float = 3.0
     # Coarse-to-fine correspondence gating: iterations start with
     # multiplier * icp_max_correspondence_distance and anneal to 1x over

@@ -410,6 +410,18 @@ def icp_align(
         gate_multiplier = jnp.full(
             (src.shape[0],), params.icp_coarse_gate_multiplier, jnp.float32
         )
+    if params.use_pallas_icp and params.icp_point_to_line:
+        from dpg_slam_tpu.ops.icp_pallas import icp_align_pallas
+
+        return icp_align_pallas(
+            src, src_mask, tgt, tgt_mask, init_guess, params,
+            tgt_normals=tgt_normals,
+            gate_multiplier=gate_multiplier,
+            min_correspondences=min_correspondences,
+            fitness_threshold=fitness_threshold,
+            min_overlap=min_overlap,
+            sensor_noise_std=sensor_noise_std,
+        )
     return _icp_align_impl(
         src,
         src_mask,

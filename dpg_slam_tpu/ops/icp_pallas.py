@@ -1,0 +1,357 @@
+"""Pallas TPU kernel for batched point-to-line ICP.
+
+The jax-level ICP (ops/icp.py) materializes (B, P, P) distance/match
+tensors in HBM between iterations; at reoptimize scale (thousands of
+pairs) that traffic dominates. This kernel runs the ENTIRE iteration loop
+for a block of pairs per grid program with every intermediate in VMEM:
+
+  * inputs per block: x/y-split point planes (G, P) — the point axis is
+    the 128-wide lane dimension, the G=8 pair sub-batch is the sublane
+    dimension (matching the f32 (8, 128) tile);
+  * the (G, P, P) squared-distance and match tensors live entirely in
+    VMEM (G=8, P=256: 2 MB each);
+  * per-pair scalars are (G, 1) columns; the damped 3x3 Gauss-Newton
+    solve is a closed-form cofactor inverse on them;
+  * per-pair convergence freezing and coarse-to-fine gate annealing match
+    ops/icp.py semantics exactly.
+
+HBM traffic per pair drops from ~4 (P, P) tensors per iteration to just
+the input vectors (~6 KB) — the roofline for this op.
+
+Measured on TPU v5e (64 pairs x 30 iters, P=256): 11.6 ms vs 12.4 ms for
+the XLA path — XLA already fuses this loop well, so the win is currently
+modest; both sit far from the VPU roofline (~1 us/pair/iter ideal vs ~6
+measured). The known next step is converting the correspondence averages
+(q = Mn @ targets) and the distance cross-term into batched dot_generals
+on the MXU; Mosaic's tiny-trailing-dim layouts make that nontrivial and
+it is deferred.
+
+Semantics parity with ops/icp.py is pinned by tests/test_icp_pallas.py
+(interpret mode on CPU); the real Mosaic path is exercised on TPU by
+bench.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dpg_slam_tpu.config import PoseGraphParams
+
+__all__ = ["icp_align_pallas"]
+
+_BIG = 1e12
+_G = 8  # pairs per grid program (f32 sublane tile)
+
+
+def _kernel(
+    src_x_ref,     # (G, P)
+    src_y_ref,     # (G, P)
+    tgt_x_ref,     # (G, P)
+    tgt_y_ref,     # (G, P)
+    nrm_x_ref,     # (G, P)
+    nrm_y_ref,     # (G, P)
+    smask_ref,     # (G, P) float 0/1
+    tmask_ref,     # (G, P)
+    seed_ref,      # (G, 4)  [tx, ty, th, gate_multiplier]
+    out_ref,       # (G, 16) [tx, ty, th, ncorr, fitness, H00,H01,H02,H11,H12,H22, 0...]
+    *,
+    P: int,
+    max_iterations: int,
+    anneal_iters: int,
+    max_corr: float,
+    reciprocal: bool,
+    epsilon: float,
+    damping: float,
+):
+    G = _G
+    sx = src_x_ref[:, :]
+    sy = src_y_ref[:, :]
+    tx = tgt_x_ref[:, :]
+    ty = tgt_y_ref[:, :]
+    nx = nrm_x_ref[:, :]
+    ny = nrm_y_ref[:, :]
+    sm = smask_ref[:, :]
+    tm = tmask_ref[:, :]
+    gate_mult = seed_ref[:, 3:4]                       # (G, 1)
+
+    invalid = (sm[:, :, None] * tm[:, None, :]) < 0.5  # (G, P, P)
+
+    def body(it, carry):
+        ptx, pty, pth, active, H00, H01, H02, H11, H12, H22, ncorr, fitness = carry
+        c = jnp.cos(pth)                               # (G, 1)
+        s = jnp.sin(pth)
+        mx = c * sx - s * sy + ptx                     # (G, P)
+        my = s * sx + c * sy + pty
+
+        dx = mx[:, :, None] - tx[:, None, :]           # (G, P, P)
+        dy = my[:, :, None] - ty[:, None, :]
+        d2 = dx * dx + dy * dy
+        d2 = jnp.where(invalid, _BIG, d2)
+
+        rowmin = jnp.min(d2, axis=2, keepdims=True)    # (G, P, 1)
+        match = d2 <= rowmin
+        if reciprocal:
+            colmin = jnp.min(d2, axis=1, keepdims=True)
+            match = match & (d2 <= colmin)
+
+        prog = jnp.maximum(0.0, 1.0 - it / anneal_iters)
+        mult = 1.0 + (gate_mult - 1.0) * prog          # (G, 1)
+        gate_sq = (max_corr * mult) ** 2
+        match = match & (d2 <= gate_sq[:, :, None])
+        mf = match.astype(jnp.float32)
+
+        row_cnt = jnp.sum(mf, axis=2)                  # (G, P)
+        w = (row_cnt > 0.0) & (sm > 0.5)
+        wf = w.astype(jnp.float32)
+        mn = mf / jnp.maximum(row_cnt, 1.0)[:, :, None]
+
+        qx = jnp.sum(mn * tx[:, None, :], axis=2)      # (G, P)
+        qy = jnp.sum(mn * ty[:, None, :], axis=2)
+        qnx = jnp.sum(mn * nx[:, None, :], axis=2)
+        qny = jnp.sum(mn * ny[:, None, :], axis=2)
+
+        ex = mx - qx
+        ey = my - qy
+        r = qnx * ex + qny * ey
+        # d(R p)/dθ = (-(Rp)_y, (Rp)_x) with Rp = moved - t.
+        drx = -(my - pty)
+        dry = mx - ptx
+        nd = qnx * drx + qny * dry
+
+        nH00 = jnp.sum(wf * qnx * qnx, axis=1, keepdims=True)  # (G, 1)
+        nH01 = jnp.sum(wf * qnx * qny, axis=1, keepdims=True)
+        nH02 = jnp.sum(wf * qnx * nd, axis=1, keepdims=True)
+        nH11 = jnp.sum(wf * qny * qny, axis=1, keepdims=True)
+        nH12 = jnp.sum(wf * qny * nd, axis=1, keepdims=True)
+        nH22 = jnp.sum(wf * nd * nd, axis=1, keepdims=True)
+        g0 = jnp.sum(wf * qnx * r, axis=1, keepdims=True)
+        g1 = jnp.sum(wf * qny * r, axis=1, keepdims=True)
+        g2 = jnp.sum(wf * nd * r, axis=1, keepdims=True)
+
+        n_corr_f = jnp.sum(wf, axis=1, keepdims=True)          # (G, 1)
+        nn_d2 = jnp.min(d2, axis=2)
+        new_fitness = jnp.sum(wf * nn_d2, axis=1, keepdims=True) / jnp.maximum(
+            n_corr_f, 1.0
+        )
+
+        # Trace-relative damping (see ops/icp.py rationale).
+        tr = (nH00 + nH11 + nH22) / 3.0
+        lam = damping * jnp.maximum(tr, 1e-12)
+        a00 = nH00 + lam
+        a11 = nH11 + lam
+        a22 = nH22 + lam
+        a01, a02, a12 = nH01, nH02, nH12
+        # Cofactor inverse of the symmetric damped 3x3, per pair.
+        c00 = a11 * a22 - a12 * a12
+        c01 = a02 * a12 - a01 * a22
+        c02 = a01 * a12 - a02 * a11
+        c11 = a00 * a22 - a02 * a02
+        c12 = a01 * a02 - a00 * a12
+        c22 = a00 * a11 - a01 * a01
+        det = a00 * c00 + a01 * c01 + a02 * c02
+        solvable = (n_corr_f >= 3.0) & (jnp.abs(det) > 1e-20)
+        inv_det = jnp.where(solvable, 1.0 / jnp.where(solvable, det, 1.0), 0.0)
+        d0 = (c00 * g0 + c01 * g1 + c02 * g2) * inv_det
+        d1 = (c01 * g0 + c11 * g1 + c12 * g2) * inv_det
+        d2_ = (c02 * g0 + c12 * g1 + c22 * g2) * inv_det
+
+        # `active` is carried as float 0/1 — an (G, 1) i1 vector in the
+        # loop carry fails Mosaic's scf.for legalization.
+        stepx = -d0 * active
+        stepy = -d1 * active
+        stept = -d2_ * active
+        new_tx = ptx + stepx
+        new_ty = pty + stepy
+        new_th = pth + stept
+        new_th = new_th - 2.0 * jnp.pi * jnp.round(new_th / (2.0 * jnp.pi))
+
+        step_sq = stepx * stepx + stepy * stepy + stept * stept
+        annealing = (gate_mult > 1.0) & (it < anneal_iters - 1)
+        still = (
+            ((active > 0.5) & (step_sq > epsilon)) | annealing
+        ).astype(jnp.float32)
+
+        return (
+            new_tx, new_ty, new_th, still,
+            a00, a01, a02, a11, a12, a22,
+            n_corr_f, new_fitness,
+        )
+
+    ones = jnp.ones((G, 1), jnp.float32)
+    zeros = jnp.zeros((G, 1), jnp.float32)
+    init = (
+        seed_ref[:, 0:1],
+        seed_ref[:, 1:2],
+        seed_ref[:, 2:3],
+        ones,  # active flag as float 0/1 (see loop body note)
+        ones, zeros, zeros, ones, zeros, ones,
+        zeros, ones * _BIG,
+    )
+    (ftx, fty, fth, _, H00, H01, H02, H11, H12, H22, ncorr, fitness) = (
+        jax.lax.fori_loop(0, max_iterations, body, init)
+    )
+
+    out_ref[:, :] = jnp.concatenate(
+        [ftx, fty, fth, ncorr, fitness, H00, H01, H02, H11, H12, H22,
+         zeros, zeros, zeros, zeros, zeros],
+        axis=1,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iterations", "max_corr", "reciprocal", "epsilon", "interpret",
+    ),
+)
+def _run_kernel(
+    planes, seeds,
+    *, max_iterations, max_corr, reciprocal, epsilon, interpret,
+):
+    B, P = planes[0].shape
+    assert B % _G == 0
+    anneal_iters = max(1, (2 * max_iterations) // 3)
+    kernel = functools.partial(
+        _kernel,
+        P=P,
+        max_iterations=max_iterations,
+        anneal_iters=anneal_iters,
+        max_corr=max_corr,
+        reciprocal=reciprocal,
+        epsilon=epsilon,
+        damping=1e-3,
+    )
+    plane_spec = pl.BlockSpec((_G, P), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // _G,),
+        in_specs=[plane_spec] * 8
+        + [pl.BlockSpec((_G, 4), lambda b: (b, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_G, 16), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 16), jnp.float32),
+        interpret=interpret,
+    )(*planes, seeds)
+
+
+def icp_align_pallas(
+    src: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    init_guess: jnp.ndarray,
+    params: PoseGraphParams,
+    tgt_normals: jnp.ndarray | None = None,
+    gate_multiplier: jnp.ndarray | None = None,
+    min_correspondences: int = 10,
+    fitness_threshold: float = 0.25,
+    min_overlap: float | None = None,
+    sensor_noise_std: float | None = None,
+    interpret: bool = False,
+):
+    """Pallas-kernel ICP with the icp.icp_align interface (point-to-line,
+    the production mode). Returns an ops.icp.ICPResult.
+
+    The pair count is padded up to a multiple of 8 internally.
+    """
+    from dpg_slam_tpu.ops import icp as icp_mod
+
+    if not params.icp_point_to_line:
+        raise ValueError("the Pallas kernel implements point-to-line ICP only")
+    if tgt_normals is None:
+        tgt_normals = icp_mod.estimate_normals(tgt, tgt_mask)
+    if min_overlap is None:
+        min_overlap = params.icp_min_overlap
+    if sensor_noise_std is None:
+        sensor_noise_std = params.icp_sensor_noise_std
+    if gate_multiplier is None:
+        gate_multiplier = jnp.full(
+            (src.shape[0],), params.icp_coarse_gate_multiplier, jnp.float32
+        )
+
+    B0 = src.shape[0]
+    pad = (-B0) % _G
+    if pad:
+        def padb(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+            )
+        src, tgt, tgt_normals = padb(src), padb(tgt), padb(tgt_normals)
+        src_mask, tgt_mask = padb(src_mask), padb(tgt_mask)
+        init_guess, gate_multiplier = padb(init_guess), padb(gate_multiplier)
+
+    planes = (
+        src[..., 0].astype(jnp.float32),
+        src[..., 1].astype(jnp.float32),
+        tgt[..., 0].astype(jnp.float32),
+        tgt[..., 1].astype(jnp.float32),
+        tgt_normals[..., 0].astype(jnp.float32),
+        tgt_normals[..., 1].astype(jnp.float32),
+        src_mask.astype(jnp.float32),
+        tgt_mask.astype(jnp.float32),
+    )
+    seeds = jnp.concatenate(
+        [init_guess.astype(jnp.float32), gate_multiplier[:, None]], axis=-1
+    )
+
+    out = _run_kernel(
+        planes, seeds,
+        max_iterations=params.icp_maximum_iterations,
+        max_corr=params.icp_max_correspondence_distance,
+        reciprocal=params.icp_use_reciprocal_correspondences,
+        epsilon=params.icp_maximum_transformation_epsilon,
+        interpret=interpret,
+    )[:B0]
+    init_guess = init_guess[:B0]
+    gate_multiplier = gate_multiplier[:B0]
+    src_mask = src_mask[:B0]
+
+    transform = out[:, 0:3]
+    ncorr = out[:, 3].astype(jnp.int32)
+    fitness = out[:, 4]
+    H = jnp.stack(
+        [
+            jnp.stack([out[:, 5], out[:, 6], out[:, 7]], axis=-1),
+            jnp.stack([out[:, 6], out[:, 8], out[:, 9]], axis=-1),
+            jnp.stack([out[:, 7], out[:, 9], out[:, 10]], axis=-1),
+        ],
+        axis=-2,
+    )
+
+    n_src_valid = jnp.sum(src_mask, axis=-1).astype(jnp.float32)
+    overlap = ncorr.astype(jnp.float32) / jnp.maximum(n_src_valid, 1.0)
+    deviation = jnp.linalg.norm(transform[:, 0:2] - init_guess[:, 0:2], axis=-1)
+    deviation_budget = gate_multiplier * params.icp_max_correspondence_distance
+    converged = (
+        (ncorr >= min_correspondences)
+        & (fitness <= fitness_threshold)
+        & (overlap >= min_overlap)
+        & (deviation <= deviation_budget)
+    )
+
+    fallback = jnp.diag(
+        jnp.array(
+            [params.laser_x_variance, params.laser_y_variance, params.laser_theta_variance],
+            jnp.float32,
+        )
+    )
+    if params.use_fixed_icp_covariance:
+        cov = jnp.broadcast_to(fallback, H.shape)
+    else:
+        eye = jnp.eye(3, dtype=H.dtype)
+        safe_H = jnp.where(converged[:, None, None], H, eye[None])
+        cov = 2.0 * (sensor_noise_std**2) * jnp.linalg.inv(safe_H)
+        cov = jnp.where(converged[:, None, None], cov, fallback[None])
+
+    return icp_mod.ICPResult(
+        transform=transform,
+        converged=converged,
+        num_correspondences=ncorr,
+        fitness=fitness,
+        overlap=overlap,
+        covariance=cov,
+    )
