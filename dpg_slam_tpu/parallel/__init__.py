@@ -12,10 +12,12 @@ from dpg_slam_tpu.parallel.distributed import (
     distributed_solve,
     distributed_reoptimize,
 )
+from dpg_slam_tpu.parallel.schur import schur_solve
 
 __all__ = [
     "make_mesh",
     "sharded_icp_align",
     "distributed_solve",
     "distributed_reoptimize",
+    "schur_solve",
 ]
