@@ -390,6 +390,53 @@ def execute_dpg(cfg: DpgConfig, state):
     return new_state, info
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "extent", "include_inactive"))
+def occupancy_snapshot(
+    cfg: DpgConfig,
+    state,
+    center: jnp.ndarray,
+    extent: int = 512,
+    include_inactive: bool = False,
+):
+    """Dense occupancy grid of the whole session around `center` — the
+    toOccGridMsg analog (dpg_slam.cc:1031-1057): UNKNOWN=0, FREE=1,
+    OCCUPIED=2 int8 window plus its world origin.
+
+    Args:
+      center: (2,) world position of the window center.
+      include_inactive: rasterize deactivated nodes/sectors too (the
+        occupancyGrid include_inactive flag, dpg_slam.h:87-97).
+
+    Returns (grid (extent, extent) int8, origin (2,)).
+    """
+    from dpg_slam_tpu.engine import SlamState
+
+    assert isinstance(state, SlamState)
+    res = cfg.dpg.occ_grid_resolution
+    origin = center - 0.5 * extent * res
+    N = state.poses.shape[0]
+    march_steps = int(round(cfg.scan.range_max / res))
+
+    lidar = _lidar_poses(cfg, state.poses)
+    pts_map = geom.apply(
+        lidar[:, None, :], scan.points_in_laser_frame(state.ranges, cfg.scan)
+    )
+    if include_inactive:
+        sector_act = jnp.ones_like(state.sector_active)
+        node_ok = state.node_mask
+    else:
+        sector_act = state.sector_active
+        node_ok = state.node_mask & state.node_active
+    incl, occ = _beam_select(cfg, state.labels, sector_act)
+    incl = incl & node_ok[:, None]
+    occ = occ & node_ok[:, None]
+
+    grids = raster.rasterize_scans(
+        lidar, pts_map, state.ranges, occ, incl, origin, extent, res, march_steps
+    )
+    return jnp.max(grids, axis=0), origin
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def map_layers(cfg: DpgConfig, state):
     """The four DPG map layers (getActiveAndDynamicMapPoints, cc:832-863).

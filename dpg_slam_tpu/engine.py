@@ -30,11 +30,17 @@ Design decisions vs the reference (documented deviations):
 from __future__ import annotations
 
 import functools
+import logging
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# ROS_INFO/ROS_ERROR analog (SURVEY.md §5 observability): standard python
+# logging under the "dpg_slam_tpu" namespace; debug-level per-keyframe
+# stats force a host sync and are gated on the logger level.
+logger = logging.getLogger("dpg_slam_tpu.engine")
 
 from dpg_slam_tpu import geom, scan
 from dpg_slam_tpu.config import DpgConfig
@@ -612,13 +618,28 @@ class DpgSlamEngine:
       traj = eng.trajectory()
     """
 
-    def __init__(self, config: DpgConfig | None = None):
+    def __init__(self, config: DpgConfig | None = None, mesh=None):
+        """Args:
+          config: DpgConfig (defaults used when omitted).
+          mesh: optional jax.sharding.Mesh — pass-boundary reoptimize then
+            runs multi-chip (pair-sharded ICP sweep + edge-sharded
+            distributed solve); the per-keyframe path stays single-chip
+            (it is latency-bound, not throughput-bound).
+        """
         self.config = config or DpgConfig()
         self.state = _init_state(self.config)
         # Dense Cholesky is faster up to ~1k nodes; CG beyond.
         self.solve_method = "dense" if self.config.capacity.max_nodes <= 1024 else "cg"
         self._dpg_enabled = True
         self.last_dpg_info = None
+        self.mesh = mesh
+        if mesh is not None:
+            n = mesh.devices.size
+            if self.config.capacity.max_edges % n != 0:
+                raise ValueError(
+                    f"max_edges ({self.config.capacity.max_edges}) must divide "
+                    f"by the mesh size ({n}) for the distributed solve"
+                )
 
     # -- observations -----------------------------------------------------
     def observe_odometry(self, odom_pose) -> None:
@@ -647,13 +668,28 @@ class DpgSlamEngine:
                 "edge capacity exhausted; raise CapacityParams.max_edges"
             )
         self.state = _keyframe_step(self.config, self.state, ranges, self.solve_method)
+        if logger.isEnabledFor(logging.DEBUG):
+            logger.debug(
+                "keyframe %d: %d edges, %d priors",
+                int(self.state.num_nodes),
+                int(self.state.graph.num_edges),
+                int(self.state.graph.num_priors),
+            )
         if self._dpg_enabled and int(self.state.pass_number) >= 1:
             self._execute_dpg()
+            if logger.isEnabledFor(logging.DEBUG) and self.last_dpg_info is not None:
+                logger.debug(
+                    "dpg: +%d added, +%d removed, coverage %.2f",
+                    int(self.last_dpg_info.num_added),
+                    int(self.last_dpg_info.num_removed),
+                    float(self.last_dpg_info.coverage),
+                )
         return True
 
     def increment_pass(self) -> None:
         """Session boundary: bump pass counter and globally reoptimize
-        (incrementPassNumber + reoptimize, dpg_slam.cc:25-120)."""
+        (incrementPassNumber + reoptimize, dpg_slam.cc:25-120). Runs the
+        multi-chip path when the engine was constructed with a mesh."""
         self.state = self.state._replace(
             pass_number=self.state.pass_number + 1,
             odom_initialized=jnp.zeros((), bool),
@@ -661,7 +697,12 @@ class DpgSlamEngine:
             cumulative_dist=jnp.zeros(()),
         )
         if int(self.state.num_nodes) > 1:
-            self.state = _reoptimize(self.config, self.state, self.solve_method)
+            if self.mesh is not None:
+                from dpg_slam_tpu.parallel.distributed import distributed_reoptimize
+
+                self.state = distributed_reoptimize(self.mesh, self.config, self.state)
+            else:
+                self.state = _reoptimize(self.config, self.state, self.solve_method)
 
     def _execute_dpg(self) -> None:
         from dpg_slam_tpu.dpg import change_detection
@@ -698,6 +739,25 @@ class DpgSlamEngine:
 
     def num_nodes(self) -> int:
         return int(self.state.num_nodes)
+
+    def occupancy_grid(
+        self, center=None, extent: int = 512, include_inactive: bool = False
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Dense occupancy grid of the session (toOccGridMsg analog):
+        (extent, extent) int8 UNKNOWN=0/FREE=1/OCCUPIED=2 + world origin."""
+        from dpg_slam_tpu.dpg import occupancy_snapshot
+
+        if center is None:
+            n = max(self.num_nodes(), 1)
+            center = np.asarray(self.state.poses[:n, :2]).mean(axis=0)
+        grid, origin = occupancy_snapshot(
+            self.config,
+            self.state,
+            jnp.asarray(center, jnp.float32),
+            extent=extent,
+            include_inactive=include_inactive,
+        )
+        return np.asarray(grid), np.asarray(origin)
 
     def map_points(self, subsample: int | None = None) -> np.ndarray:
         """All valid scan points in map frame, thinned (GetMap,
