@@ -1,0 +1,194 @@
+"""Scaling-efficiency harness: distributed solve + sharded ICP throughput
+vs mesh size (the north star's 'scaling efficiency reported at 1 chip,
+1 host, N>=2 hosts').
+
+On this machine only a virtual CPU mesh is available; on a pod slice the
+same harness runs over real chips (pass --platform tpu there). Results are
+indicative of communication/overhead structure, not absolute TPU speed.
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python -m dpg_slam_tpu.bench_scaling [--nodes 4096] [--mesh-sizes 1 2 4 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_big_graph(N, cap, closures_per_node=2, seed=0):
+    import jax.numpy as jnp
+
+    from dpg_slam_tpu import geom
+    from dpg_slam_tpu.graph import factor_graph as fg
+
+    rng = np.random.default_rng(seed)
+    # Random-walk trajectory.
+    steps = np.stack(
+        [
+            np.ones(N - 1),
+            np.zeros(N - 1),
+            rng.uniform(-0.3, 0.3, N - 1),
+        ],
+        axis=1,
+    )
+    gt = np.zeros((N, 3), np.float64)
+    for i in range(1, N):
+        gt[i] = np.asarray(geom.compose(jnp.array(gt[i - 1]), jnp.array(steps[i - 1])))
+
+    E_cap = cap * (1 + closures_per_node) + 16
+    g = fg.empty_graph(max_priors=4, max_edges=E_cap)
+    g = fg.add_prior(
+        g, jnp.int32(0), jnp.array(gt[0], jnp.float32),
+        fg.sqrt_info_from_sigmas(jnp.array([0.05, 0.05, 0.02])),
+    )
+    model_np = np.diag([1 / 0.1, 1 / 0.1, 1 / 0.05]).astype(np.float32)
+
+    # Vectorized edge construction (python loops are too slow at 10k).
+    ei = np.arange(N - 1)
+    ej = ei + 1
+    ci = rng.integers(0, N - 12, size=(N * closures_per_node) // 4)
+    cj = ci + rng.integers(10, min(N // 4, 500), size=len(ci))
+    cj = np.minimum(cj, N - 1)
+    all_i = np.concatenate([ei, ci])
+    all_j = np.concatenate([ej, cj])
+
+    def rel(a, b):
+        c, s = np.cos(gt[a, 2]), np.sin(gt[a, 2])
+        dx, dy = gt[b, 0] - gt[a, 0], gt[b, 1] - gt[a, 1]
+        return np.stack(
+            [c * dx + s * dy, -s * dx + c * dy,
+             np.angle(np.exp(1j * (gt[b, 2] - gt[a, 2])))], axis=1
+        )
+
+    meas = rel(all_i, all_j).astype(np.float32)
+    E = len(all_i)
+    edge_idx = np.zeros((E_cap, 2), np.int32)
+    edge_idx[:E, 0] = all_i
+    edge_idx[:E, 1] = all_j
+    edge_meas = np.zeros((E_cap, 3), np.float32)
+    edge_meas[:E] = meas
+    edge_si = np.zeros((E_cap, 3, 3), np.float32)
+    edge_si[:E] = model_np[None]
+    g = g._replace(
+        edge_idx=jnp.array(edge_idx),
+        edge_meas=jnp.array(edge_meas),
+        edge_sqrt_info=jnp.array(edge_si),
+        num_edges=jnp.int32(E),
+    )
+    init = jnp.zeros((cap, 3)).at[:N].set(
+        jnp.array(gt + rng.normal(0, 0.05, (N, 3)), jnp.float32)
+    )
+    mask = jnp.arange(cap) < N
+    return g, init, mask, gt
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nodes", type=int, default=4096)
+    parser.add_argument("--mesh-sizes", type=int, nargs="*", default=[1, 2, 4, 8])
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--repeats", type=int, default=5)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from dpg_slam_tpu.graph import factor_graph as fg
+    from dpg_slam_tpu.parallel import make_mesh
+    from dpg_slam_tpu.parallel.distributed import distributed_solve
+
+    N = args.nodes
+    g, init, mask, gt = build_big_graph(N, N)
+    results = {"nodes": N, "edges": int(g.num_edges), "backend": jax.default_backend()}
+
+    rows = []
+    base_time = None
+    for n_dev in args.mesh_sizes:
+        if n_dev > jax.device_count():
+            continue
+        mesh = make_mesh(n_dev)
+        if g.edge_idx.shape[0] % n_dev != 0:
+            continue
+
+        def run():
+            return distributed_solve(
+                mesh, init, mask,
+                g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
+                g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
+                max_iterations=args.iters,
+            )
+
+        out = run()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.repeats):
+            out = run()
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.repeats
+        err = np.linalg.norm(np.asarray(out[:N, :2]) - gt[:, :2], axis=1).max()
+        if base_time is None:
+            base_time = dt
+        rows.append(
+            {
+                "mesh": n_dev,
+                "solve_ms": round(dt * 1e3, 1),
+                "speedup": round(base_time / dt, 2),
+                "efficiency": round(base_time / dt / n_dev, 2),
+                "max_err_m": round(float(err), 4),
+            }
+        )
+    results["distributed_solve"] = rows
+
+    # Schur path: one reduced-system psum per GN iteration instead of a
+    # psum per CG matvec — the communication structure that scales.
+    from dpg_slam_tpu.parallel.schur import schur_solve
+
+    g2, init2, mask2, gt2 = build_big_graph(
+        N, N, closures_per_node=0, seed=1
+    )
+    schur_rows = []
+    for n_dev in args.mesh_sizes:
+        if n_dev > jax.device_count() or N % n_dev != 0:
+            continue
+        mesh = make_mesh(n_dev)
+        sep_cap = max(8 * n_dev, 16)
+
+        def run_schur():
+            return schur_solve(
+                mesh, init2, mask2,
+                g2.prior_idx, g2.prior_val, g2.prior_sqrt_info, g2.prior_mask,
+                g2.edge_idx, g2.edge_meas, g2.edge_sqrt_info, g2.edge_mask,
+                sep_cap=sep_cap, max_iterations=args.iters,
+            )
+
+        out, sep_count = run_schur()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.repeats):
+            out, _ = run_schur()
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.repeats
+        err = np.linalg.norm(np.asarray(out[:N, :2]) - gt2[:, :2], axis=1).max()
+        schur_rows.append(
+            {
+                "mesh": n_dev,
+                "separators": int(sep_count),
+                "solve_ms": round(dt * 1e3, 1),
+                "max_err_m": round(float(err), 4),
+            }
+        )
+    results["schur_solve_chain"] = schur_rows
+    results["note"] = (
+        "virtual CPU meshes share one host's cores; efficiency numbers are "
+        "structural indicators only — run on a real slice for true scaling"
+    )
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
