@@ -84,6 +84,12 @@ class PoseGraphParams:
     maximum_node_dist_across_passes_scan_comparison: float = 2.0
     max_loop_closures_per_node: int = 8   # TPU design: fixed candidate budget
     min_loop_closure_node_gap: int = 10
+    closure_consistency_transl: float = 0.2
+    closure_consistency_rot: float = 0.15
+    # Pairwise closure voting: each accepted closure implies a correction
+    # of the new node's pose; correct closures agree on it (within these
+    # tolerances), perceptual-aliasing ones disagree. Only the plurality
+    # group is kept. Set transl to None to disable.
     # Same-pass closures only against nodes at least this many keyframes
     # back. The reference closes against every node j < i-1 in radius
     # (dpg_slam.cc:275), so chain-adjacent pairs get redundant "closures"
@@ -129,6 +135,14 @@ class PoseGraphParams:
     # the constant diagonal the reference actually returns
     # (cov_func_point_to_point.h:572-575).
     icp_sensor_noise_std: float = 0.02  # per-point noise for the GN covariance
+    icp_cov_floor_transl: float = 0.0
+    icp_cov_floor_rot: float = 0.0
+    # Optional additive covariance floor on the GN/Censi estimate —
+    # accounts for correspondence bias (sampling aliasing, normal error)
+    # the per-point noise model cannot express. Off by default: it helps
+    # ATE under heavy odometry noise with sparse clouds (~0.05 measured
+    # best) but shifts cross-pass registration enough to perturb
+    # change-detection layers, which are precision-critical.
 
     # Solver (replaces GTSAM iSAM2, dpg_slam.cc:316-329)
     gtsam_max_iterations: int = 100       # kept for parity (parameters.h:235)

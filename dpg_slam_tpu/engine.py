@@ -228,6 +228,39 @@ def _icp_batch_for_new_node(
     return res, tgt_idx, tgt_valid
 
 
+def _closure_consistency_votes(
+    cfg: DpgConfig,
+    poses_tgt: jnp.ndarray,     # (K, 3) poses of closure targets
+    transforms: jnp.ndarray,    # (K, 3) ICP measurements (new in target frame)
+    ref_pose: jnp.ndarray,      # (3,) current estimate of the new node
+    valid: jnp.ndarray,         # (K,) candidate validity (incl. convergence)
+) -> jnp.ndarray:
+    """Plurality vote over the drift corrections implied by closures.
+
+    Each closure k implies a pose for the new node:
+    ``implied_k = poses_tgt[k] ∘ transforms[k]``; its correction is
+    ``implied_k ⊖ ref_pose``. Correct closures agree on the correction
+    (they all observe the same accumulated drift); aliased closures
+    scatter. Returns the keep-mask: members of the largest mutually
+    consistent group (a closure always agrees with itself, so single
+    closures survive)."""
+    pg = cfg.pose_graph
+    implied = geom.compose(poses_tgt, transforms)             # (K, 3)
+    corr = implied - ref_pose
+    corr = corr.at[:, 2].set(geom.wrap_angle(corr[:, 2]))
+    d_t = jnp.linalg.norm(corr[:, None, 0:2] - corr[None, :, 0:2], axis=-1)
+    d_r = jnp.abs(geom.wrap_angle(corr[:, None, 2] - corr[None, :, 2]))
+    agree = (
+        (d_t <= pg.closure_consistency_transl)
+        & (d_r <= pg.closure_consistency_rot)
+        & valid[:, None]
+        & valid[None, :]
+    )
+    votes = jnp.sum(agree, axis=1)
+    max_votes = jnp.max(jnp.where(valid, votes, 0))
+    return valid & (votes >= max_votes)
+
+
 def _add_observation_factors(
     cfg: DpgConfig,
     graph: fg.FactorGraph,
@@ -312,6 +345,12 @@ def _keyframe_step(
     tgt_valid = tgt_valid & has_pairs
     if not pg.non_successive_scan_constraints:
         tgt_valid = tgt_valid & (jnp.arange(tgt_valid.shape[0]) == 0)
+    if pg.closure_consistency_transl is not None:
+        clos_ok = tgt_valid[1:] & res.converged[1:]
+        voted = _closure_consistency_votes(
+            cfg, state.poses[tgt_idx[1:]], res.transform[1:], est_pose, clos_ok
+        )
+        tgt_valid = tgt_valid.at[1:].set(voted)
     graph = _add_observation_factors(cfg, graph, res, tgt_idx, tgt_valid, new_idx)
 
     state = state._replace(graph=graph, first_scan_for_pass=jnp.zeros((), bool))
@@ -495,9 +534,21 @@ def _reoptimize_pack_graph(
 
     n_flat = flat_src.shape[0]
     # Successive pairs keep their factor even when not converged
-    # (dpg_slam.cc:86-89); closures require convergence.
+    # (dpg_slam.cc:86-89); closures require convergence plus the pairwise
+    # consistency vote (per source node).
     is_succ = (jnp.arange(n_flat) % (1 + K)) == 0
-    keep = flat_valid & (is_succ | converged)
+    clos_keep = converged
+    if pg.closure_consistency_transl is not None:
+        clos_tgt = flat_tgt.reshape(N, 1 + K)[:, 1:]
+        clos_t = transforms.reshape(N, 1 + K, 3)[:, 1:]
+        clos_ok = (flat_valid & converged).reshape(N, 1 + K)[:, 1:]
+        voted = jax.vmap(
+            lambda pt, tr, ref, ok: _closure_consistency_votes(cfg, pt, tr, ref, ok)
+        )(state.poses[clos_tgt], clos_t, state.poses, clos_ok)
+        clos_keep = jnp.concatenate(
+            [converged.reshape(N, 1 + K)[:, :1], voted], axis=1
+        ).reshape(-1)
+    keep = flat_valid & (is_succ | clos_keep)
 
     obs_si = jax.vmap(fg.sqrt_info_from_covariance)(covs)
 

@@ -249,6 +249,8 @@ def _icp_iteration(
         "fixed_covariance",
         "sigmas",
         "sensor_noise_std",
+        "cov_floor_transl",
+        "cov_floor_rot",
         "min_correspondences",
         "fitness_threshold",
         "min_overlap",
@@ -271,6 +273,8 @@ def _icp_align_impl(
     fixed_covariance: bool,
     sigmas: tuple[float, float, float],
     sensor_noise_std: float,
+    cov_floor_transl: float,
+    cov_floor_rot: float,
     min_correspondences: int,
     fitness_threshold: float,
     min_overlap: float,
@@ -344,10 +348,19 @@ def _icp_align_impl(
         cov = jnp.broadcast_to(jnp.diag(jnp.array(sigmas, dtype=jnp.float32)), (B, 3, 3))
     else:
         # Gauss-Newton covariance from the final normal system:
-        # cov = 2 sigma_z^2 H^-1 — the usable core of the Censi closed form.
+        # cov = 2 sigma_z^2 H^-1 — the usable core of the Censi closed
+        # form — plus a floor for correspondence bias the per-point noise
+        # model cannot see (sampling aliasing, normal estimation error).
         eye = jnp.eye(3, dtype=state.hessian.dtype)
         safe_H = jnp.where(converged[:, None, None], state.hessian, eye[None])
         cov = 2.0 * (sensor_noise_std**2) * jnp.linalg.inv(safe_H)
+        floor = jnp.diag(
+            jnp.array(
+                [cov_floor_transl**2, cov_floor_transl**2, cov_floor_rot**2],
+                jnp.float32,
+            )
+        )
+        cov = cov + floor[None]
         fallback = jnp.diag(jnp.array(sigmas, dtype=jnp.float32))
         cov = jnp.where(converged[:, None, None], cov, fallback[None])
 
@@ -442,6 +455,8 @@ def icp_align(
             params.laser_theta_variance,
         ),
         sensor_noise_std=sensor_noise_std,
+        cov_floor_transl=params.icp_cov_floor_transl,
+        cov_floor_rot=params.icp_cov_floor_rot,
         min_correspondences=min_correspondences,
         fitness_threshold=fitness_threshold,
         min_overlap=min_overlap,

@@ -345,6 +345,17 @@ def icp_align_pallas(
         eye = jnp.eye(3, dtype=H.dtype)
         safe_H = jnp.where(converged[:, None, None], H, eye[None])
         cov = 2.0 * (sensor_noise_std**2) * jnp.linalg.inv(safe_H)
+        floor = jnp.diag(
+            jnp.array(
+                [
+                    params.icp_cov_floor_transl**2,
+                    params.icp_cov_floor_transl**2,
+                    params.icp_cov_floor_rot**2,
+                ],
+                jnp.float32,
+            )
+        )
+        cov = cov + floor[None]
         cov = jnp.where(converged[:, None, None], cov, fallback[None])
 
     return icp_mod.ICPResult(
