@@ -185,6 +185,14 @@ class DpgParams:
     # TPU design knobs (dense windowed grids replace hash maps):
     grid_extent_cells: int = 1024         # (H, W) of the change-detection window
     max_submap_nodes: int = 32            # M nearest prior-pass nodes in the submap
+    local_registration: bool = True
+    local_reg_max_points: int = 2048
+    # Before diffing grids, re-register each chain scan against the
+    # submap's point cloud with a scan-to-map ICP and use the refined
+    # poses for change detection only (never fed back into the graph).
+    # Cell-level diffing at occ_grid_resolution is precision-critical:
+    # residual cross-pass registration error of 1-2 cells is the dominant
+    # false-change source.
     change_margin_cells: int = 2
     # Veto radius (cells) around mapped OCCUPIED structure inside which
     # points are never labeled ADDED/REMOVED — suppresses grazing-ray

@@ -158,11 +158,7 @@ def execute_dpg(cfg: DpgConfig, state):
     chain_incl, chain_occ = _beam_select(cfg, chain_labels, chain_sector_act)
     chain_incl = chain_incl & chain_valid[:, None]
     chain_occ = chain_occ & chain_valid[:, None]
-
-    chain_grids = raster.rasterize_scans(
-        chain_lidar, chain_pts_map, chain_ranges, chain_occ, chain_incl,
-        origin, extent, res, march_steps,
-    )                                                          # (C, H, W)
+    # (chain grids are rasterized AFTER the local re-registration in 2b.)
 
     # ---- 2. Submap contributors: active nodes of PRIOR passes within the
     # proximity radius of any chain node (cc:646-668), M nearest.
@@ -189,6 +185,47 @@ def execute_dpg(cfg: DpgConfig, state):
     sub_incl, sub_occ = _beam_select(cfg, sub_labels, sub_sector_act)
     sub_incl = sub_incl & contrib_valid[:, None]
     sub_occ = sub_occ & contrib_valid[:, None]
+
+    # ---- 2b. Local cross-pass re-registration: align each chain scan to
+    # the submap's occupied points and diff with the REFINED poses (graph
+    # poses are untouched). Residual registration error of 1-2 grid cells
+    # is the dominant false-change source.
+    if dpg.local_registration:
+        from dpg_slam_tpu.ops import icp as icp_mod
+
+        T = dpg.local_reg_max_points
+        flat_pts = sub_pts_map.reshape(M * B, 2)
+        flat_ok = sub_occ.reshape(M * B)
+        stride = max(1, (M * B) // T)
+        tgt_pts = flat_pts[::stride][:T]
+        tgt_ok = flat_ok[::stride][:T]
+        pad_t = T - tgt_pts.shape[0]
+        if pad_t:
+            tgt_pts = jnp.concatenate([tgt_pts, jnp.zeros((pad_t, 2))], axis=0)
+            tgt_ok = jnp.concatenate([tgt_ok, jnp.zeros((pad_t,), bool)], axis=0)
+
+        reg = icp_mod.icp_align(
+            state.cloud[chain_idx],
+            state.cloud_mask[chain_idx] & chain_valid[:, None],
+            jnp.broadcast_to(tgt_pts[None], (C, T, 2)),
+            jnp.broadcast_to(tgt_ok[None], (C, T)),
+            chain_poses,
+            cfg.pose_graph,
+            gate_multiplier=jnp.ones((C,), jnp.float32),
+        )
+        # Accept only small refinements — the pose should move by at most
+        # a few grid cells; larger jumps mean the scan-to-map ICP latched
+        # onto something else.
+        shift = jnp.linalg.norm(reg.transform[:, 0:2] - chain_poses[:, 0:2], axis=-1)
+        ok = reg.converged & (shift <= 6.0 * res)
+        chain_poses = jnp.where(ok[:, None], reg.transform, chain_poses)
+        chain_lidar = _lidar_poses(cfg, chain_poses)
+        chain_pts_map = geom.apply(chain_lidar[:, None, :], pts_laser)
+
+    chain_grids = raster.rasterize_scans(
+        chain_lidar, chain_pts_map, chain_ranges, chain_occ, chain_incl,
+        origin, extent, res, march_steps,
+    )                                                          # (C, H, W)
 
     # Contributors rasterize per node, then max-combine into ONE submap
     # grid (== combineOccupancyGrids' OCCUPIED-priority merge, cc:931-956).
