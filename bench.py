@@ -64,7 +64,7 @@ def bench_tpu(cfg, eng, seq, n_steps=60):
     return n_steps / dt
 
 
-def bench_cpu_baseline(cfg, eng, n_steps=5):
+def bench_cpu_baseline(cfg, eng, n_steps=10):
     """Time the serial reference-equivalent keyframe on one CPU thread."""
     from dpg_slam_tpu.baselines import serial_cpu
 
