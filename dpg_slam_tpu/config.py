@@ -153,6 +153,10 @@ class PoseGraphParams:
     # the batch-solve answer to iSAM2's single incremental update.
     gn_damping_init: float = 1e-4
     gn_tol: float = 1e-8
+    gn_gradient_tol: float = 1e-4
+    # Skip/stop the LM loop when the max-abs whitened gradient is below
+    # this: re-solving an already-consistent graph (common in warm-started
+    # keyframe updates) costs one residual sweep instead of a factorization.
     robust_delta: float | None = 2.0
     # Huber threshold on whitened between-factor residuals (None = pure
     # quadratic, the reference/GTSAM behavior). Wrong-basin loop closures

@@ -363,6 +363,10 @@ def _keyframe_step(
         damping_init=pg.gn_damping_init,
         method=solve_method,
         robust_delta=pg.robust_delta,
+        # Warm-started incremental solve: a rejected LM step means "already
+        # at the optimum" — don't burn factorizations on damping retries.
+        gradient_tol=pg.gn_gradient_tol,
+        terminate_on_reject=True,
     )
     return state._replace(poses=poses)
 

@@ -273,13 +273,27 @@ def _assemble(
     g: FactorGraph,
     node_mask: jnp.ndarray,
     robust_delta: float | None = None,
-) -> _NormalEq:
+) -> tuple[_NormalEq, jnp.ndarray]:
+    """Build the normal equations AND the total (robust) error in one
+    residual sweep — the LM loop needs both every iteration, and the
+    residual/Jacobian evaluation is the shared cost."""
     N = poses.shape[0]
     pr, pJ = _prior_residual_jac(poses, g)
     er, Ji, Jj = _between_residual_jac(poses, g)
 
     pm = g.prior_mask.astype(poses.dtype)
     em = g.edge_mask.astype(poses.dtype)
+
+    # Total error on the raw (mask-zeroed, un-IRLS-scaled) residuals —
+    # identical to total_error(poses, g, robust_delta).
+    pr_m = pr * pm[:, None]
+    er_m = er * em[:, None]
+    prior_err = 0.5 * jnp.sum(pr_m * pr_m)
+    if robust_delta is None:
+        err = prior_err + 0.5 * jnp.sum(er_m * er_m)
+    else:
+        err = prior_err + _huber_loss(er_m, robust_delta)
+
     if robust_delta is not None:
         # IRLS: scale each between-factor's residual and Jacobians by
         # sqrt(huber weight) so the normal equations realize the robust loss.
@@ -311,7 +325,7 @@ def _assemble(
     eye = jnp.eye(3, dtype=poses.dtype)
     diag = jnp.where(node_mask[:, None, None], diag, eye[None])
     rhs = jnp.where(node_mask[:, None], rhs, 0.0)
-    return _NormalEq(diag, off, rhs)
+    return _NormalEq(diag, off, rhs), err
 
 
 def _matvec(eq: _NormalEq, g: FactorGraph, v: jnp.ndarray) -> jnp.ndarray:
@@ -397,7 +411,14 @@ def _cg_solve(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iterations", "method", "cg_iterations", "robust_delta"),
+    static_argnames=(
+        "max_iterations",
+        "method",
+        "cg_iterations",
+        "robust_delta",
+        "gradient_tol",
+        "terminate_on_reject",
+    ),
 )
 def solve(
     poses: jnp.ndarray,
@@ -409,62 +430,76 @@ def solve(
     method: str = "dense",
     cg_iterations: int = 64,
     robust_delta: float | None = None,
+    gradient_tol: float = 0.0,
+    terminate_on_reject: bool = False,
 ) -> tuple[jnp.ndarray, SolveStats]:
     """Levenberg-Marquardt over the pose graph.
 
     Replaces isam_->update + calculateEstimate (dpg_slam.cc:316-329) with a
-    batch solve. Fixed iteration count with accept/reject damping inside a
-    lax.scan: rejected steps raise damping and leave poses unchanged.
+    batch solve. While_loop with early termination; each iteration does ONE
+    residual/Jacobian sweep (the assemble also yields the step's error) and
+    one linear solve.
 
     Args:
       poses: (N, 3) initial estimates (capacity-sized; masked slots ignored).
       g: factor graph.
       node_mask: (N,) bool — live nodes.
       method: "dense" (Cholesky) or "cg" (block-sparse PCG).
+      gradient_tol: skip/stop when the max-abs whitened gradient falls below
+        this (0 disables). Makes re-solving an already-converged graph
+        (a warm-started keyframe update with near-consistent new factors)
+        nearly free.
+      terminate_on_reject: stop on the first rejected step instead of
+        retrying with raised damping. Correct for warm-started incremental
+        solves (a rejection there means "already at the optimum"); keep
+        False for cold solves where LM's damping retries do real work.
 
     Returns:
       (optimized poses, SolveStats).
     """
-    err0 = total_error(poses, g, robust_delta)
-
-    # LM loop as a while_loop with early termination: warm-started
-    # incremental solves typically converge in 1-2 iterations, and paying
-    # for max_iterations of dense factorizations per keyframe is the
-    # dominant pipeline cost otherwise. `done` latches when an accepted
-    # step improves the error by less than rel_tol (or a rejected step
-    # fails to shrink it meaningfully).
     rel_tol = 1e-6
 
+    eq0, err0 = _assemble(poses, g, node_mask, robust_delta)
+    gnorm0 = jnp.max(jnp.abs(eq0.rhs))
+
     def cond(carry):
-        _, _, _, _, it, done = carry
-        return (it < max_iterations) & ~done
+        _, _, _, _, gnorm, _, it, done = carry
+        return (it < max_iterations) & ~done & (gnorm > gradient_tol)
 
     def step(carry):
-        poses, damping, err, accepted, it, done = carry
-        eq = _assemble(poses, g, node_mask, robust_delta)
+        poses, damping, err, eq, gnorm, accepted, it, done = carry
         if method == "dense":
             delta = _dense_solve(eq, g, damping)
         else:
             delta = _cg_solve(eq, g, damping, cg_iterations)
         new_poses = poses - delta
         new_poses = new_poses.at[:, 2].set(geom.wrap_angle(new_poses[:, 2]))
-        new_err = total_error(new_poses, g, robust_delta)
+        new_eq, new_err = _assemble(new_poses, g, node_mask, robust_delta)
         accept = new_err < err
         improvement = (err - new_err) / jnp.maximum(err, 1e-12)
-        done = accept & (improvement < rel_tol)
+        if terminate_on_reject:
+            done = improvement < rel_tol  # covers tiny-accept AND reject
+        else:
+            done = accept & (improvement < rel_tol)
         poses = jnp.where(accept, new_poses, poses)
         err = jnp.where(accept, new_err, err)
+        eq = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), new_eq, eq
+        )
+        gnorm = jnp.where(accept, jnp.max(jnp.abs(new_eq.rhs)), gnorm)
         damping = jnp.where(accept, damping * 0.5, damping * 4.0)
         damping = jnp.clip(damping, 1e-9, 1e6)
-        return (poses, damping, err, accepted + accept.astype(jnp.int32), it + 1, done)
+        return (poses, damping, err, eq, gnorm, accepted + accept.astype(jnp.int32), it + 1, done)
 
     init = (
         poses,
         jnp.asarray(damping_init, poses.dtype),
         err0,
+        eq0,
+        gnorm0,
         jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
         jnp.zeros((), bool),
     )
-    poses, _, err, accepted, _, _ = jax.lax.while_loop(cond, step, init)
+    poses, _, err, _, _, accepted, _, _ = jax.lax.while_loop(cond, step, init)
     return poses, SolveStats(initial_error=err0, final_error=err, iterations=accepted)

@@ -298,7 +298,14 @@ def _icp_align_impl(
     # Acceptance (overlap/fitness) is judged on the final, fine gate.
     anneal_iters = max(1, (2 * max_iterations) // 3)
 
-    def body(state, it):
+    def cond(carry):
+        state, it = carry
+        # Early exit once every pair has frozen (annealing pairs are held
+        # active through their schedule, so this can only trip after it).
+        return (it < max_iterations) & jnp.any(state.active)
+
+    def body(carry):
+        state, it = carry
         progress = jnp.maximum(0.0, 1.0 - it / anneal_iters)
         mult = 1.0 + (gate_multiplier - 1.0) * progress          # (B,)
         gate_sq = (max_correspondence_distance * mult) ** 2
@@ -319,10 +326,10 @@ def _icp_align_impl(
         # progress — a coarse-gate local optimum is not convergence.
         annealing = (gate_multiplier > 1.0) & (it < anneal_iters - 1)
         state = state._replace(active=state.active | annealing)
-        return state, None
+        return state, it + 1.0
 
-    state, _ = jax.lax.scan(
-        body, state, jnp.arange(max_iterations, dtype=jnp.float32)
+    state, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.zeros((), jnp.float32))
     )
 
     n_src_valid = jnp.sum(src_mask, axis=-1).astype(jnp.float32)
