@@ -47,9 +47,14 @@ def bench_tpu(cfg, eng, seq, n_steps=60):
 
     scans = jnp.asarray(seq.scans[: n_steps + 1])
     state = eng.state
+    # Fixed solve bucket covering the whole timed run (engine picks the
+    # same bucket per keyframe; hoisted here to avoid per-step host syncs).
+    bucket = eng._solve_bucket(eng.num_nodes() + n_steps + 1)
 
     def step(state, ranges):
-        return eng_mod._keyframe_step(cfg, state, ranges, eng.solve_method)
+        return eng_mod._keyframe_step(
+            cfg, state, ranges, eng.solve_method, solve_bucket=bucket
+        )
 
     # Warmup / compile.
     warm = step(state, scans[0])

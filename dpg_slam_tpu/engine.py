@@ -286,12 +286,24 @@ def _add_observation_factors(
     return graph
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "solve_method"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "solve_method", "solve_bucket")
+)
 def _keyframe_step(
-    cfg: DpgConfig, state: SlamState, ranges: jnp.ndarray, solve_method: str
+    cfg: DpgConfig,
+    state: SlamState,
+    ranges: jnp.ndarray,
+    solve_method: str,
+    solve_bucket: int | None = None,
 ) -> SlamState:
     """Process one accepted keyframe scan (updatePoseGraph +
-    updatePoseGraphObsConstraints + optimizeGraph, dpg_slam.cc:160-329)."""
+    updatePoseGraphObsConstraints + optimizeGraph, dpg_slam.cc:160-329).
+
+    solve_bucket: static node count the graph solve runs at (host-chosen
+    smallest power-of-two >= live nodes, capped at capacity). The dense
+    factorization cost then tracks the LIVE graph instead of the full
+    capacity — early-session keyframes solve a small system. None solves
+    at full capacity. Each distinct bucket compiles once (log2 many)."""
     pg = cfg.pose_graph
     is_first = state.first_scan_for_pass
     new_idx = state.num_nodes
@@ -355,10 +367,11 @@ def _keyframe_step(
 
     state = state._replace(graph=graph, first_scan_for_pass=jnp.zeros((), bool))
 
-    poses, _ = fg.solve(
-        state.poses,
+    nb = solve_bucket or state.poses.shape[0]
+    poses_b, _ = fg.solve(
+        state.poses[:nb],
         state.graph,
-        state.node_mask,
+        state.node_mask[:nb],
         max_iterations=pg.incremental_gn_iterations,
         damping_init=pg.gn_damping_init,
         method=solve_method,
@@ -368,6 +381,7 @@ def _keyframe_step(
         gradient_tol=pg.gn_gradient_tol,
         terminate_on_reject=True,
     )
+    poses = jax.lax.dynamic_update_slice(state.poses, poses_b, (0, 0))
     return state._replace(poses=poses)
 
 
@@ -696,6 +710,15 @@ class DpgSlamEngine:
                     f"by the mesh size ({n}) for the distributed solve"
                 )
 
+    def _solve_bucket(self, n_needed: int) -> int:
+        """Smallest power-of-two node bucket >= n_needed (min 64, capped at
+        capacity): the per-keyframe solve factorizes a live-sized system."""
+        cap = self.config.capacity.max_nodes
+        b = 64
+        while b < n_needed:
+            b *= 2
+        return min(b, cap)
+
     # -- observations -----------------------------------------------------
     def observe_odometry(self, odom_pose) -> None:
         """Absolute odometry pose [x, y, theta] (OdometryCallback analog)."""
@@ -722,7 +745,13 @@ class DpgSlamEngine:
             raise RuntimeError(
                 "edge capacity exhausted; raise CapacityParams.max_edges"
             )
-        self.state = _keyframe_step(self.config, self.state, ranges, self.solve_method)
+        self.state = _keyframe_step(
+            self.config,
+            self.state,
+            ranges,
+            self.solve_method,
+            solve_bucket=self._solve_bucket(int(self.state.num_nodes) + 1),
+        )
         if logger.isEnabledFor(logging.DEBUG):
             logger.debug(
                 "keyframe %d: %d edges, %d priors",
