@@ -430,6 +430,71 @@ def _current_pose(cfg: DpgConfig, state: SlamState) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Offline sequence mode: a whole session as ONE compiled program
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "solve_method", "run_dpg", "solve_bucket")
+)
+def _process_sequence(
+    cfg: DpgConfig,
+    state: SlamState,
+    odometry: jnp.ndarray,   # (T, 3) absolute odometry per scan
+    scans: jnp.ndarray,      # (T, B) ranges per scan
+    solve_method: str,
+    run_dpg: bool = False,
+    solve_bucket: int | None = None,
+):
+    """Offline/batch tracking: lax.scan over the (odom, scan) stream with
+    the keyframe gate and full keyframe pipeline under lax.cond.
+
+    The reference's execution model is exactly this — offline rosbag
+    playback through the runner (dpg_data_runner_main.cc) — but one ROS
+    callback at a time. Here the entire session runs as a single XLA
+    program: no host round-trip per scan, non-keyframe scans cost only
+    the odometry update, and XLA pipelines across the scan body.
+
+    Returns (state, keyframe_mask(T,)).
+    """
+    edges_worst = 2 + cfg.pose_graph.max_loop_closures_per_node
+
+    # Call the UNJITTED implementations inside the scan: an inner jit is
+    # inlined during tracing anyway, and tracing a jitted function under
+    # lax.cond leaves a cache entry that breaks later concrete calls
+    # ("supplied N buffers but compiled program expected M").
+    observe_odom = _observe_odometry.__wrapped__
+    should_process = _should_process.__wrapped__
+    keyframe_step = _keyframe_step.__wrapped__
+
+    def step(state, inp):
+        odom, ranges = inp
+        state = observe_odom(cfg, state, odom)
+        capacity_ok = (state.num_nodes < cfg.capacity.max_nodes) & (
+            state.graph.num_edges + edges_worst <= cfg.capacity.max_edges
+        )
+        do_kf = should_process(cfg, state) & capacity_ok
+
+        def kf_branch(s):
+            s = keyframe_step(cfg, s, ranges, solve_method, solve_bucket)
+            if run_dpg:
+                from dpg_slam_tpu.dpg import change_detection
+
+                s = jax.lax.cond(
+                    s.pass_number >= 1,
+                    lambda s2: change_detection.execute_dpg.__wrapped__(cfg, s2)[0],
+                    lambda s2: s2,
+                    s,
+                )
+            return s
+
+        state = jax.lax.cond(do_kf, kf_branch, lambda s: s, state)
+        return state, do_kf
+
+    state, kf_mask = jax.lax.scan(step, state, (odometry, scans))
+    return state, kf_mask
+
+
+# ---------------------------------------------------------------------------
 # Reoptimize (pass boundary)
 # ---------------------------------------------------------------------------
 
@@ -671,6 +736,27 @@ def _reoptimize(cfg: DpgConfig, state: SlamState, solve_method: str) -> SlamStat
     return state._replace(poses=poses, graph=graph)
 
 
+# Per-config jit wrappers for the DPG step. A single shared multi-signature
+# PjitFunction for execute_dpg mis-executes under jax 0.9.0 once its
+# implementation has ALSO been traced inside lax.cond under other configs
+# ("Execution supplied N buffers but compiled program expected M"); one
+# single-signature wrapper per config sidesteps that while keeping
+# compilation shared across engines with the same config.
+_DPG_STEP_CACHE: dict = {}
+
+
+def _dpg_step_fn(cfg: DpgConfig):
+    fn = _DPG_STEP_CACHE.get(cfg)
+    if fn is None:
+        from dpg_slam_tpu.dpg import change_detection
+
+        fn = jax.jit(
+            functools.partial(change_detection.execute_dpg.__wrapped__, cfg)
+        )
+        _DPG_STEP_CACHE[cfg] = fn
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # Host driver
 # ---------------------------------------------------------------------------
@@ -725,6 +811,49 @@ class DpgSlamEngine:
         self.state = _observe_odometry(
             self.config, self.state, jnp.asarray(odom_pose, jnp.float32)
         )
+
+    def observe_odometry_relative(self, delta) -> None:
+        """Relative odometry (dx, dy, dtheta) in the robot frame — the
+        CobotOdometryMsg path (dpg_slam_main.cc:197-208): integrate into
+        an absolute odometry pose, then the regular update."""
+        new = geom.compose(
+            self.state.prev_odom, jnp.asarray(delta, jnp.float32)
+        )
+        self.observe_odometry(new)
+
+    def process_sequence(self, odometry, scans, run_dpg: bool | None = None):
+        """Offline/batch mode: run a whole recorded session as ONE compiled
+        program (lax.scan over scans — the TPU-native form of the
+        reference's rosbag playback, dpg_data_runner_main.cc:38-53).
+
+        Args:
+          odometry: (T, 3) absolute odometry pose per scan.
+          scans: (T, num_beams) ranges per scan.
+          run_dpg: run change detection per keyframe on passes >= 1
+            (defaults to the engine's DPG setting).
+
+        Returns: (T,) bool — which scans became keyframes.
+        """
+        odometry = jnp.asarray(odometry, jnp.float32)
+        scans = jnp.asarray(scans, jnp.float32)
+        if scans.ndim != 2 or scans.shape[1] != self.config.scan.num_beams:
+            raise ValueError(
+                f"expected (T, {self.config.scan.num_beams}) scans, got {scans.shape}"
+            )
+        if odometry.shape != (scans.shape[0], 3):
+            raise ValueError(
+                f"expected ({scans.shape[0]}, 3) odometry, got {odometry.shape}"
+            )
+        dpg = self._dpg_enabled if run_dpg is None else run_dpg
+        self.state, kf_mask = _process_sequence(
+            self.config,
+            self.state,
+            odometry,
+            scans,
+            self.solve_method,
+            run_dpg=dpg,
+        )
+        return np.asarray(kf_mask)
 
     def observe_laser(self, ranges) -> bool:
         """One lidar scan; returns True if a keyframe was created
@@ -789,11 +918,7 @@ class DpgSlamEngine:
                 self.state = _reoptimize(self.config, self.state, self.solve_method)
 
     def _execute_dpg(self) -> None:
-        from dpg_slam_tpu.dpg import change_detection
-
-        self.state, self.last_dpg_info = change_detection.execute_dpg(
-            self.config, self.state
-        )
+        self.state, self.last_dpg_info = _dpg_step_fn(self.config)(self.state)
 
     def map_layers(self) -> dict:
         """The four DPG map layers as host arrays: dict name -> (P, 2)

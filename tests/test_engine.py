@@ -122,6 +122,77 @@ def test_map_points_extraction(office_seq):
     assert np.all(np.linalg.norm(pts, axis=1) < 21.0)
 
 
+def test_offline_sequence_matches_online(office_seq):
+    """process_sequence (one lax.scan program) must reproduce the online
+    observe_odometry/observe_laser loop exactly: same keyframes, same
+    graph, same poses."""
+    cfg = small_config()
+    eng_on = DpgSlamEngine(cfg)
+    kfs = run_sequence(eng_on, office_seq)
+
+    eng_off = DpgSlamEngine(cfg)
+    kf_mask = eng_off.process_sequence(office_seq.odometry, office_seq.scans)
+    assert list(np.flatnonzero(kf_mask)) == kfs
+    assert eng_off.num_nodes() == eng_on.num_nodes()
+    np.testing.assert_allclose(
+        eng_off.trajectory(), eng_on.trajectory(), atol=1e-4
+    )
+    assert int(eng_off.state.graph.num_edges) == int(eng_on.state.graph.num_edges)
+
+
+def test_offline_sequence_respects_capacity(office_seq):
+    """At node capacity the offline program stops creating keyframes
+    instead of corrupting the arrays."""
+    from dpg_slam_tpu.config import DpgParams
+
+    cfg = DpgConfig(
+        scan=ScanParams(num_beams=256, range_max=10.0),
+        pose_graph=PoseGraphParams(
+            icp_max_points=64, icp_maximum_iterations=10, max_loop_closures_per_node=2
+        ),
+        dpg=DpgParams(max_submap_nodes=4, grid_extent_cells=64, occ_grid_resolution=0.2),
+        capacity=CapacityParams(max_nodes=8, max_edges=64, max_priors=4),
+    )
+    eng = DpgSlamEngine(cfg)
+    kf_mask = eng.process_sequence(office_seq.odometry, office_seq.scans)
+    assert eng.num_nodes() == 8
+    assert kf_mask.sum() == 8
+    assert np.isfinite(eng.trajectory()).all()
+
+
+def test_relative_odometry_integration(office_seq):
+    """observe_odometry_relative (CobotOdometryCallback analog,
+    dpg_slam_main.cc:197-208) integrates robot-frame deltas to the same
+    track absolute odometry gives."""
+    from dpg_slam_tpu import geom
+    import jax.numpy as jnp
+
+    cfg = small_config()
+    odom = office_seq.odometry
+    eng_abs = DpgSlamEngine(cfg)
+    eng_rel = DpgSlamEngine(cfg)
+    prev = None
+    for t in range(25):
+        eng_abs.observe_odometry(odom[t])
+        if prev is None:
+            eng_rel.observe_odometry_relative(odom[t])  # first: from origin
+        else:
+            delta = np.asarray(
+                geom.between(jnp.asarray(prev), jnp.asarray(odom[t]))
+            )
+            eng_rel.observe_odometry_relative(delta)
+        prev = odom[t]
+        eng_abs.observe_laser(office_seq.scans[t])
+        eng_rel.observe_laser(office_seq.scans[t])
+    # Relative integration starts from the origin; absolute keeps the raw
+    # frame. Keyframe decisions and node counts must match (gating is
+    # frame-invariant); SLAM trajectories are anchored so they match too.
+    assert eng_rel.num_nodes() == eng_abs.num_nodes()
+    np.testing.assert_allclose(
+        eng_rel.trajectory(), eng_abs.trajectory(), atol=1e-3
+    )
+
+
 def test_second_pass_reoptimize(office_seq):
     """Two passes through the same world: pass 2 re-anchors at origin and
     reoptimize keeps the joint trajectory consistent (BASELINE config 4)."""
