@@ -91,8 +91,15 @@ def run_pass(eng, seq):
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--dataset", default="synthetic", choices=["synthetic"])
+    parser.add_argument("--suite", default=None,
+                        help="named benchmark suite (gdc | mit) — the "
+                             "runOnGdcRosBags/runOnMitRosBags analog")
     parser.add_argument("--logs", nargs="*", default=None,
                         help="sequence logs (.npz/.dsl), one per pass")
+    parser.add_argument("--offline", action="store_true",
+                        help="run each pass as ONE compiled program "
+                             "(engine.process_sequence) instead of the "
+                             "per-scan callback loop")
     parser.add_argument("--scenario", default="box_change",
                         choices=["box_change", "static"])
     parser.add_argument("--passes", type=int, default=2)
@@ -111,12 +118,19 @@ def main(argv=None):
     from dpg_slam_tpu.utils.metrics import ate_rmse, relative_pose_error, to_anchor_frame
 
     cfg = build_config(args)
-    eng = DpgSlamEngine(cfg)
 
-    if args.logs:
+    if args.suite:
+        from dpg_slam_tpu.io import suites as suites_mod
+
+        suite = suites_mod.load_suite(args.suite)
+        cfg = suites_mod.apply_overrides(cfg, suite)
+        seqs = [suites_mod.materialize(s, cfg.scan) for s in suite.sessions]
+    elif args.logs:
         seqs = [log_io.load_sequence(p) for p in args.logs]
     else:
         seqs = synthetic_passes(cfg, args.passes, args.scenario)
+
+    eng = DpgSlamEngine(cfg)
 
     out_dir = pathlib.Path(args.out) if args.out else None
     if out_dir:
@@ -126,7 +140,10 @@ def main(argv=None):
     node_start = 0
     for p, seq in enumerate(seqs):
         t0 = time.perf_counter()
-        kf = run_pass(eng, seq)
+        if args.offline:
+            kf = list(np.flatnonzero(eng.process_sequence(seq.odometry, seq.scans)))
+        else:
+            kf = run_pass(eng, seq)
         track_s = time.perf_counter() - t0
 
         pass_info = {
