@@ -40,6 +40,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dpg_slam_tpu import geom, scan
 from dpg_slam_tpu.config import DpgConfig
@@ -61,7 +62,7 @@ def _dilate_occupied(grid: jnp.ndarray, margin: int) -> jnp.ndarray:
     x = occ if batched else occ[None]
     out = jax.lax.reduce_window(
         x,
-        jnp.int8(0),
+        np.int8(0),
         jax.lax.max,
         window_dimensions=(1, k, k),
         window_strides=(1, 1, 1),
@@ -82,11 +83,14 @@ class DpgStepInfo(NamedTuple):
 
 def _lidar_poses(cfg: DpgConfig, poses: jnp.ndarray) -> jnp.ndarray:
     pg = cfg.pose_graph
-    laser = jnp.array(
+    # np (not jnp): config constants must embed as HLO literals, not
+    # lifted jaxpr consts (jax 0.9 drops lifted consts in some dispatch
+    # paths after mixed-config cond/scan traces).
+    laser = np.array(
         [pg.laser_x_in_bl_frame, pg.laser_y_in_bl_frame, pg.laser_orientation_rel_bl_frame],
-        jnp.float32,
+        np.float32,
     )
-    return geom.compose(poses, jnp.broadcast_to(laser, poses.shape))
+    return geom.compose(poses, jnp.broadcast_to(jnp.asarray(laser), poses.shape))
 
 
 def _beam_select(cfg: DpgConfig, labels: jnp.ndarray, sector_active: jnp.ndarray):

@@ -286,24 +286,13 @@ def _add_observation_factors(
     return graph
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "solve_method", "solve_bucket")
-)
-def _keyframe_step(
-    cfg: DpgConfig,
-    state: SlamState,
-    ranges: jnp.ndarray,
-    solve_method: str,
-    solve_bucket: int | None = None,
+def _keyframe_frontend(
+    cfg: DpgConfig, state: SlamState, ranges: jnp.ndarray
 ) -> SlamState:
-    """Process one accepted keyframe scan (updatePoseGraph +
-    updatePoseGraphObsConstraints + optimizeGraph, dpg_slam.cc:160-329).
-
-    solve_bucket: static node count the graph solve runs at (host-chosen
-    smallest power-of-two >= live nodes, capped at capacity). The dense
-    factorization cost then tracks the LIVE graph instead of the full
-    capacity — early-session keyframes solve a small system. None solves
-    at full capacity. Each distinct bucket compiles once (log2 many)."""
+    """The frontend half of a keyframe: node creation, batched ICP
+    (successive + loop closures), factor insertion — everything except
+    the graph solve (updatePoseGraph + updatePoseGraphObsConstraints,
+    dpg_slam.cc:160-314)."""
     pg = cfg.pose_graph
     is_first = state.first_scan_for_pass
     new_idx = state.num_nodes
@@ -365,8 +354,18 @@ def _keyframe_step(
         tgt_valid = tgt_valid.at[1:].set(voted)
     graph = _add_observation_factors(cfg, graph, res, tgt_idx, tgt_valid, new_idx)
 
-    state = state._replace(graph=graph, first_scan_for_pass=jnp.zeros((), bool))
+    return state._replace(graph=graph, first_scan_for_pass=jnp.zeros((), bool))
 
+
+def _keyframe_solve(
+    cfg: DpgConfig,
+    state: SlamState,
+    solve_method: str,
+    solve_bucket: int | None = None,
+) -> SlamState:
+    """The backend half of a keyframe: warm-started LM over the live graph
+    (optimizeGraph, dpg_slam.cc:316-329)."""
+    pg = cfg.pose_graph
     nb = solve_bucket or state.poses.shape[0]
     poses_b, _ = fg.solve(
         state.poses[:nb],
@@ -383,6 +382,28 @@ def _keyframe_step(
     )
     poses = jax.lax.dynamic_update_slice(state.poses, poses_b, (0, 0))
     return state._replace(poses=poses)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "solve_method", "solve_bucket")
+)
+def _keyframe_step(
+    cfg: DpgConfig,
+    state: SlamState,
+    ranges: jnp.ndarray,
+    solve_method: str,
+    solve_bucket: int | None = None,
+) -> SlamState:
+    """Process one accepted keyframe scan (updatePoseGraph +
+    updatePoseGraphObsConstraints + optimizeGraph, dpg_slam.cc:160-329).
+
+    solve_bucket: static node count the graph solve runs at (host-chosen
+    smallest power-of-two >= live nodes, capped at capacity). The dense
+    factorization cost then tracks the LIVE graph instead of the full
+    capacity — early-session keyframes solve a small system. None solves
+    at full capacity. Each distinct bucket compiles once (log2 many)."""
+    state = _keyframe_frontend(cfg, state, ranges)
+    return _keyframe_solve(cfg, state, solve_method, solve_bucket)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -434,7 +455,8 @@ def _current_pose(cfg: DpgConfig, state: SlamState) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "solve_method", "run_dpg", "solve_bucket")
+    jax.jit,
+    static_argnames=("cfg", "solve_method", "run_dpg", "solve_bucket", "pipelined"),
 )
 def _process_sequence(
     cfg: DpgConfig,
@@ -444,6 +466,7 @@ def _process_sequence(
     solve_method: str,
     run_dpg: bool = False,
     solve_bucket: int | None = None,
+    pipelined: bool = False,
 ):
     """Offline/batch tracking: lax.scan over the (odom, scan) stream with
     the keyframe gate and full keyframe pipeline under lax.cond.
@@ -490,7 +513,63 @@ def _process_sequence(
         state = jax.lax.cond(do_kf, kf_branch, lambda s: s, state)
         return state, do_kf
 
-    state, kf_mask = jax.lax.scan(step, state, (odometry, scans))
+    if not pipelined:
+        state, kf_mask = jax.lax.scan(step, state, (odometry, scans))
+        return state, kf_mask
+
+    # ---- Pipelined (stage-staggered) schedule: the pipeline-parallelism
+    # analog of SURVEY.md §2. Within one iteration the graph SOLVE for the
+    # previous keyframe and the ICP FRONTEND for the current one are
+    # data-independent, so XLA schedules them concurrently (on one chip:
+    # overlapped instruction streams; multi-chip: combine with the
+    # pair-sharded ICP in parallel/distributed.py, which splits the
+    # frontend batch over the mesh). Cost: frontend seeds lag one solve —
+    # the reference has the same one-keyframe lag by construction
+    # (closures evaluated for the preceding node, dpg_slam.cc:257,278-299;
+    # SURVEY.md §3.6.8). A catch-up solve runs after the last scan.
+    if run_dpg:
+        raise ValueError("pipelined sequence mode does not run DPG inline")
+    N = state.poses.shape[0]
+    keyframe_frontend = _keyframe_frontend
+
+    def pstep(carry, inp):
+        state, pending = carry
+        odom, ranges = inp
+        state = observe_odom(cfg, state, odom)
+        capacity_ok = (state.num_nodes < cfg.capacity.max_nodes) & (
+            state.graph.num_edges + edges_worst <= cfg.capacity.max_edges
+        )
+        do_kf = should_process(cfg, state) & capacity_ok
+
+        # Stage B: solve the graph as of the previous keyframe.
+        solved_poses = jax.lax.cond(
+            pending,
+            lambda s: _keyframe_solve(cfg, s, solve_method, solve_bucket).poses,
+            lambda s: s.poses,
+            state,
+        )
+        # Stage A: this keyframe's frontend from the (one-solve-stale) state.
+        n_before = state.num_nodes
+        new_state = jax.lax.cond(
+            do_kf, lambda s: keyframe_frontend(cfg, s, ranges), lambda s: s, state
+        )
+        # Merge: refined poses for pre-existing nodes, frontend's estimate
+        # for the node it just wrote.
+        poses = jnp.where(
+            (jnp.arange(N) < n_before)[:, None], solved_poses, new_state.poses
+        )
+        new_state = new_state._replace(poses=poses)
+        return (new_state, do_kf), do_kf
+
+    (state, pending), kf_mask = jax.lax.scan(
+        pstep, (state, jnp.zeros((), bool)), (odometry, scans)
+    )
+    state = jax.lax.cond(
+        pending,
+        lambda s: _keyframe_solve(cfg, s, solve_method, solve_bucket),
+        lambda s: s,
+        state,
+    )
     return state, kf_mask
 
 
@@ -736,25 +815,26 @@ def _reoptimize(cfg: DpgConfig, state: SlamState, solve_method: str) -> SlamStat
     return state._replace(poses=poses, graph=graph)
 
 
-# Per-config jit wrappers for the DPG step. A single shared multi-signature
-# PjitFunction for execute_dpg mis-executes under jax 0.9.0 once its
-# implementation has ALSO been traced inside lax.cond under other configs
-# ("Execution supplied N buffers but compiled program expected M"); one
-# single-signature wrapper per config sidesteps that while keeping
-# compilation shared across engines with the same config.
+# Per-config AOT-compiled DPG step. Under jax 0.9.0, once execute_dpg's
+# implementation has also been traced inside lax.cond/scan with other
+# configs, later jit executions of it intermittently mis-marshal their
+# arguments ("Execution supplied N buffers but compiled program expected
+# M"). AOT lowering+compiling per config pins one executable per
+# signature and bypasses the shared jit dispatch path entirely.
 _DPG_STEP_CACHE: dict = {}
 
 
-def _dpg_step_fn(cfg: DpgConfig):
-    fn = _DPG_STEP_CACHE.get(cfg)
-    if fn is None:
+def _dpg_step_fn(cfg: DpgConfig, state: SlamState):
+    compiled = _DPG_STEP_CACHE.get(cfg)
+    if compiled is None:
         from dpg_slam_tpu.dpg import change_detection
 
         fn = jax.jit(
             functools.partial(change_detection.execute_dpg.__wrapped__, cfg)
         )
-        _DPG_STEP_CACHE[cfg] = fn
-    return fn
+        compiled = fn.lower(state).compile()
+        _DPG_STEP_CACHE[cfg] = compiled
+    return compiled
 
 
 # ---------------------------------------------------------------------------
@@ -821,7 +901,10 @@ class DpgSlamEngine:
         )
         self.observe_odometry(new)
 
-    def process_sequence(self, odometry, scans, run_dpg: bool | None = None):
+    def process_sequence(
+        self, odometry, scans, run_dpg: bool | None = None,
+        pipelined: bool = False,
+    ):
         """Offline/batch mode: run a whole recorded session as ONE compiled
         program (lax.scan over scans — the TPU-native form of the
         reference's rosbag playback, dpg_data_runner_main.cc:38-53).
@@ -831,6 +914,9 @@ class DpgSlamEngine:
           scans: (T, num_beams) ranges per scan.
           run_dpg: run change detection per keyframe on passes >= 1
             (defaults to the engine's DPG setting).
+          pipelined: stage-staggered schedule — the graph solve for
+            keyframe k overlaps the ICP frontend for keyframe k+1
+            (the pipeline-parallelism analog; implies run_dpg=False).
 
         Returns: (T,) bool — which scans became keyframes.
         """
@@ -845,6 +931,8 @@ class DpgSlamEngine:
                 f"expected ({scans.shape[0]}, 3) odometry, got {odometry.shape}"
             )
         dpg = self._dpg_enabled if run_dpg is None else run_dpg
+        if pipelined:
+            dpg = False
         self.state, kf_mask = _process_sequence(
             self.config,
             self.state,
@@ -852,6 +940,7 @@ class DpgSlamEngine:
             scans,
             self.solve_method,
             run_dpg=dpg,
+            pipelined=pipelined,
         )
         return np.asarray(kf_mask)
 
@@ -918,7 +1007,9 @@ class DpgSlamEngine:
                 self.state = _reoptimize(self.config, self.state, self.solve_method)
 
     def _execute_dpg(self) -> None:
-        self.state, self.last_dpg_info = _dpg_step_fn(self.config)(self.state)
+        self.state, self.last_dpg_info = _dpg_step_fn(self.config, self.state)(
+            self.state
+        )
 
     def map_layers(self) -> dict:
         """The four DPG map layers as host arrays: dict name -> (P, 2)

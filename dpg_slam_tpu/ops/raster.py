@@ -19,12 +19,13 @@ matches convertToKeyForm (dpg_slam.cc:923-929) up to the window shift.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["UNKNOWN", "FREE", "OCCUPIED", "world_to_cell", "rasterize_scans"]
 
-UNKNOWN = jnp.int8(0)
-FREE = jnp.int8(1)
-OCCUPIED = jnp.int8(2)
+UNKNOWN = np.int8(0)
+FREE = np.int8(1)
+OCCUPIED = np.int8(2)
 
 
 def world_to_cell(

@@ -160,6 +160,25 @@ def test_offline_sequence_respects_capacity(office_seq):
     assert np.isfinite(eng.trajectory()).all()
 
 
+def test_pipelined_sequence_close_to_online(office_seq):
+    """The stage-staggered (pipeline-parallel analog) schedule solves one
+    keyframe late; after the catch-up solve the trajectory must be close
+    to the unpipelined one (seeds differ by at most one solve refinement)."""
+    cfg = small_config()
+    eng_ref = DpgSlamEngine(cfg)
+    eng_ref.process_sequence(office_seq.odometry, office_seq.scans)
+    eng_pipe = DpgSlamEngine(cfg)
+    kf = eng_pipe.process_sequence(
+        office_seq.odometry, office_seq.scans, pipelined=True
+    )
+    assert kf.sum() == eng_pipe.num_nodes()
+    assert eng_pipe.num_nodes() == eng_ref.num_nodes()
+    d = np.linalg.norm(
+        eng_pipe.trajectory()[:, :2] - eng_ref.trajectory()[:, :2], axis=1
+    )
+    assert np.max(d) < 0.2, f"max pose deviation {np.max(d)}"
+
+
 def test_relative_odometry_integration(office_seq):
     """observe_odometry_relative (CobotOdometryCallback analog,
     dpg_slam_main.cc:197-208) integrates robot-frame deltas to the same
