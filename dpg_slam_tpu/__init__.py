@@ -19,6 +19,17 @@ Layer map (mirrors reference layers, re-designed TPU-first):
   io         — dataset loading / synthetic worlds (ref: src/runner/)
 """
 
+import jax as _jax
+
+# Geometry needs real f32 matmuls. TPU's default matmul precision rounds
+# inputs to bf16, which corrupts ICP correspondence distances and the
+# normal-equation solves enough to diverge multi-pass registration
+# (measured: office two-pass ATE 5.5 m vs 0.10 m at f32; CPU reference
+# 0.10 m). The hot matmuls here are tiny, so full precision costs ~nothing.
+# Respect an explicit user setting.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from dpg_slam_tpu.config import (
     DpgConfig,
     DpgParams,
