@@ -129,7 +129,7 @@ def test_dpg_added_points_near_new_box(two_pass_result):
     # (-6, -4), so anchored box center is (3, 5.5).
     d = np.linalg.norm(added - np.array([3.0, 5.5]), axis=1)
     frac_near = (d < 1.5).mean()
-    assert frac_near > 0.5, f"only {frac_near:.0%} of ADDED points near the new box"
+    assert frac_near > 0.9, f"only {frac_near:.0%} of ADDED points near the new box"
 
 
 def test_dpg_removed_points_near_old_box(two_pass_result):
@@ -141,7 +141,9 @@ def test_dpg_removed_points_near_old_box(two_pass_result):
     # Pass-1 box at world (2, 1.5) -> anchored (8, 5.5).
     d = np.linalg.norm(removed - np.array([8.0, 5.5]), axis=1)
     frac_near = (d < 1.5).mean()
-    assert frac_near > 0.5, f"only {frac_near:.0%} of REMOVED points near the old box"
+    # 0.98 at the full-fidelity config (1024 beams, 0.1 m grid; see
+    # README results); this module-scoped fixture runs a low-res config.
+    assert frac_near > 0.6, f"only {frac_near:.0%} of REMOVED points near the old box"
 
 
 def test_dpg_removed_only_on_prior_pass_nodes(two_pass_result):
