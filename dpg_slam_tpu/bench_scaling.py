@@ -93,9 +93,26 @@ def main(argv=None):
     parser.add_argument("--mesh-sizes", type=int, nargs="*", default=[1, 2, 4, 8])
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "axon"],
+                        help="cpu (default) uses a virtual device mesh sized "
+                             "to max(mesh_sizes); tpu/axon use real chips")
     args = parser.parse_args(argv)
 
+    import os
+
+    if args.platform == "cpu":
+        # Must be set before the backend initializes; the environment's
+        # sitecustomize force-selects a remote TPU platform, so override
+        # through jax.config too.
+        n = max(args.mesh_sizes)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}"
+            ).strip()
     import jax
+
+    jax.config.update("jax_platforms", args.platform)
 
     from dpg_slam_tpu.graph import factor_graph as fg
     from dpg_slam_tpu.parallel import make_mesh
