@@ -885,6 +885,14 @@ class DpgSlamEngine:
             b *= 2
         return min(b, cap)
 
+    def _incremental_method(self, bucket: int) -> str:
+        """Linear-solver choice for the warm-started per-keyframe solve:
+        Cholesky up to 256 nodes, dense-matvec PCG above (a 1536-dim TPU
+        factorization costs ~5 ms vs ~2 ms for converged CG)."""
+        if self.solve_method != "dense":
+            return self.solve_method
+        return "dense" if bucket <= 256 else "dense_cg"
+
     # -- observations -----------------------------------------------------
     def observe_odometry(self, odom_pose) -> None:
         """Absolute odometry pose [x, y, theta] (OdometryCallback analog)."""
@@ -938,7 +946,7 @@ class DpgSlamEngine:
             self.state,
             odometry,
             scans,
-            self.solve_method,
+            self._incremental_method(self.config.capacity.max_nodes),
             run_dpg=dpg,
             pipelined=pipelined,
         )
@@ -963,12 +971,13 @@ class DpgSlamEngine:
             raise RuntimeError(
                 "edge capacity exhausted; raise CapacityParams.max_edges"
             )
+        bucket = self._solve_bucket(int(self.state.num_nodes) + 1)
         self.state = _keyframe_step(
             self.config,
             self.state,
             ranges,
-            self.solve_method,
-            solve_bucket=self._solve_bucket(int(self.state.num_nodes) + 1),
+            self._incremental_method(bucket),
+            solve_bucket=bucket,
         )
         if logger.isEnabledFor(logging.DEBUG):
             logger.debug(

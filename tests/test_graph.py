@@ -51,7 +51,7 @@ EXPECTED = np.array(
 )
 
 
-@pytest.mark.parametrize("method", ["dense", "cg"])
+@pytest.mark.parametrize("method", ["dense", "cg", "dense_cg"])
 def test_gtsam_fixture_optimum(method):
     g, init, mask = build_gtsam_fixture()
     poses, stats = fg.solve(init, g, mask, method=method, max_iterations=30)
