@@ -71,6 +71,32 @@ def make_office_world() -> SyntheticWorld:
     return w
 
 
+def make_reading_room_world() -> SyntheticWorld:
+    """A 10x8 single room with a central table cluster — the MIT
+    reading-room analog (one room revisited across many short sessions,
+    dpg_data_runner_main.cc:116-128). Smaller FOV coverage per scan and
+    tighter loops than the office."""
+    segs = [
+        # outer walls
+        [-5, -4, 5, -4], [5, -4, 5, 4], [5, 4, -5, 4], [-5, 4, -5, -4],
+        # reading nooks (wall stubs)
+        [-5, 0, -3.5, 0], [5, 0, 3.5, 0],
+    ]
+    w = SyntheticWorld(np.array(segs, dtype=np.float64))
+    w = w.add_box(0.0, 0.0, 1.6, 1.0)      # central table
+    w = w.add_box(-3.8, 2.8, 0.8, 0.8)     # shelf
+    return w
+
+
+def reading_room_waypoints() -> np.ndarray:
+    """A loop around the central table, clear of all structure."""
+    return np.array(
+        [
+            [-3.5, -2.5], [3.5, -2.5], [3.5, 2.5], [-2.5, 2.5], [-3.5, -2.5],
+        ]
+    )
+
+
 def raycast(world: SyntheticWorld, pose: np.ndarray, params: ScanParams) -> np.ndarray:
     """Vectorized lidar raycast from an SE(2) pose (the pose of the LASER,
     not the robot base — compose the extrinsic before calling).

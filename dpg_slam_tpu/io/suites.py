@@ -93,9 +93,9 @@ def builtin_suites() -> dict[str, Suite]:
         description="10-session windowed analog of runOnMitRosBags (:116-128)",
         sessions=tuple(
             SessionSpec(
-                scenario="office",
+                scenario="reading_room",   # single room, like the MIT data
                 seed=200 + p,
-                add_boxes=((6.0, 1.0, 0.8, 0.8),) if p % 3 == 0 else (),
+                add_boxes=((2.0, 1.2, 0.6, 0.6),) if p % 3 == 0 else (),
                 start_s=2.0,
                 duration_s=28.0,
                 stride=1 + (p % 2),        # 0.5-1.2x rate analog
@@ -152,12 +152,16 @@ def materialize(spec: SessionSpec, scan_params) -> Sequence:
 
     from dpg_slam_tpu.io import dataset
 
-    if spec.scenario != "office":
+    if spec.scenario == "office":
+        world = dataset.make_office_world()
+        wps = dataset.office_loop_waypoints()
+    elif spec.scenario == "reading_room":
+        world = dataset.make_reading_room_world()
+        wps = dataset.reading_room_waypoints()
+    else:
         raise ValueError(f"unknown scenario {spec.scenario!r}")
-    world = dataset.make_office_world()
     for box in spec.add_boxes:
         world = world.add_box(*box)
-    wps = dataset.office_loop_waypoints()
     seq = dataset.simulate_sequence(
         world, wps, scan_params, step=spec.step, seed=spec.seed,
         odom_noise_transl=spec.odom_noise_transl,

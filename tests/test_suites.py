@@ -58,6 +58,37 @@ def test_materialize_log_roundtrip(tmp_path):
     np.testing.assert_allclose(seq2.scans, seq.scans[::3])
 
 
+def test_reading_room_scenario_tracks():
+    """The second benchmark world (MIT reading-room analog): the engine
+    must track a loop around the central table."""
+    from dpg_slam_tpu.engine import DpgSlamEngine
+    from dpg_slam_tpu.io import dataset
+    from dpg_slam_tpu.utils.metrics import ate_rmse, to_anchor_frame
+
+    cfg = DpgConfig(
+        scan=ScanParams(num_beams=256, range_max=10.0),
+        pose_graph=PoseGraphParams(
+            icp_max_points=64, icp_maximum_iterations=30, max_loop_closures_per_node=4
+        ),
+        capacity=CapacityParams(max_nodes=32, max_edges=256, max_priors=4),
+    )
+    seq = suites.materialize(
+        suites.SessionSpec(
+            scenario="reading_room", seed=6, step=0.5,
+            odom_noise_transl=0.02, odom_noise_rot=0.008,
+        ),
+        cfg.scan,
+    )
+    eng = DpgSlamEngine(cfg)
+    kf = eng.process_sequence(seq.odometry, seq.scans, run_dpg=False)
+    assert eng.num_nodes() >= 8
+    gt = to_anchor_frame(seq.ground_truth[np.flatnonzero(kf)])
+    ate = ate_rmse(eng.trajectory(), gt)
+    # A small single room barely drifts, so SLAM ~ odometry here; the bar
+    # is tracking correctness, not drift correction.
+    assert ate < 0.2, f"ATE {ate}"
+
+
 def test_mini_suite_end_to_end():
     """Two windowed sessions through the engine with a pass boundary —
     the runner's bag -> /new_pass -> bag flow."""
