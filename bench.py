@@ -50,10 +50,11 @@ def bench_tpu(cfg, eng, seq, n_steps=60):
     # Fixed solve bucket covering the whole timed run (engine picks the
     # same bucket per keyframe; hoisted here to avoid per-step host syncs).
     bucket = eng._solve_bucket(eng.num_nodes() + n_steps + 1)
+    method = eng._incremental_method(bucket)  # the solver the engine runs
 
     def step(state, ranges):
         return eng_mod._keyframe_step(
-            cfg, state, ranges, eng.solve_method, solve_bucket=bucket
+            cfg, state, ranges, method, solve_bucket=bucket
         )
 
     # Warmup / compile.

@@ -367,7 +367,11 @@ def _keyframe_solve(
     (optimizeGraph, dpg_slam.cc:316-329)."""
     pg = cfg.pose_graph
     nb = solve_bucket or state.poses.shape[0]
-    poses_b, _ = fg.solve(
+    # Unjitted impl: _keyframe_solve is itself always called under jit
+    # (directly or inside lax.cond/scan), and tracing a jitted function
+    # under cond/scan risks the jax 0.9 buffer-marshaling corruption
+    # documented at _dpg_step_fn.
+    poses_b, _ = fg.solve.__wrapped__(
         state.poses[:nb],
         state.graph,
         state.node_mask[:nb],
@@ -477,7 +481,8 @@ def _process_sequence(
     program: no host round-trip per scan, non-keyframe scans cost only
     the odometry update, and XLA pipelines across the scan body.
 
-    Returns (state, keyframe_mask(T,)).
+    Returns (state, keyframe_mask(T,), last_dpg_info) — last_dpg_info is
+    None unless run_dpg (then the DpgStepInfo of the last keyframe).
     """
     edges_worst = 2 + cfg.pose_graph.max_loop_closures_per_node
 
@@ -489,7 +494,18 @@ def _process_sequence(
     should_process = _should_process.__wrapped__
     keyframe_step = _keyframe_step.__wrapped__
 
-    def step(state, inp):
+    if run_dpg:
+        from dpg_slam_tpu.dpg import change_detection
+
+        zero_info = change_detection.DpgStepInfo(
+            num_added=jnp.zeros((), jnp.int32),
+            num_removed=jnp.zeros((), jnp.int32),
+            coverage=jnp.zeros((), jnp.float32),
+            num_contributors=jnp.zeros((), jnp.int32),
+        )
+
+    def step(carry, inp):
+        state, info = carry
         odom, ranges = inp
         state = observe_odom(cfg, state, odom)
         capacity_ok = (state.num_nodes < cfg.capacity.max_nodes) & (
@@ -497,25 +513,29 @@ def _process_sequence(
         )
         do_kf = should_process(cfg, state) & capacity_ok
 
-        def kf_branch(s):
+        def kf_branch(si):
+            s, info = si
             s = keyframe_step(cfg, s, ranges, solve_method, solve_bucket)
             if run_dpg:
                 from dpg_slam_tpu.dpg import change_detection
 
-                s = jax.lax.cond(
+                s, info = jax.lax.cond(
                     s.pass_number >= 1,
-                    lambda s2: change_detection.execute_dpg.__wrapped__(cfg, s2)[0],
-                    lambda s2: s2,
+                    lambda s2: change_detection.execute_dpg.__wrapped__(cfg, s2),
+                    lambda s2: (s2, info),
                     s,
                 )
-            return s
+            return s, info
 
-        state = jax.lax.cond(do_kf, kf_branch, lambda s: s, state)
-        return state, do_kf
+        state, info = jax.lax.cond(do_kf, kf_branch, lambda si: si, (state, info))
+        return (state, info), do_kf
 
     if not pipelined:
-        state, kf_mask = jax.lax.scan(step, state, (odometry, scans))
-        return state, kf_mask
+        info0 = zero_info if run_dpg else jnp.zeros(())
+        (state, info), kf_mask = jax.lax.scan(
+            step, (state, info0), (odometry, scans)
+        )
+        return state, kf_mask, (info if run_dpg else None)
 
     # ---- Pipelined (stage-staggered) schedule: the pipeline-parallelism
     # analog of SURVEY.md §2. Within one iteration the graph SOLVE for the
@@ -570,7 +590,7 @@ def _process_sequence(
         lambda s: s,
         state,
     )
-    return state, kf_mask
+    return state, kf_mask, None
 
 
 # ---------------------------------------------------------------------------
@@ -941,7 +961,7 @@ class DpgSlamEngine:
         dpg = self._dpg_enabled if run_dpg is None else run_dpg
         if pipelined:
             dpg = False
-        self.state, kf_mask = _process_sequence(
+        self.state, kf_mask, dpg_info = _process_sequence(
             self.config,
             self.state,
             odometry,
@@ -950,6 +970,8 @@ class DpgSlamEngine:
             run_dpg=dpg,
             pipelined=pipelined,
         )
+        if dpg_info is not None and int(self.state.pass_number) >= 1:
+            self.last_dpg_info = dpg_info
         return np.asarray(kf_mask)
 
     def observe_laser(self, ranges) -> bool:

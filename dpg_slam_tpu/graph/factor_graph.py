@@ -543,7 +543,12 @@ def solve(
         accept = new_err < err
         improvement = (err - new_err) / jnp.maximum(err, 1e-12)
         if terminate_on_reject:
-            done = improvement < rel_tol  # covers tiny-accept AND reject
+            # Stop on tiny-accept OR reject — but only once at least one
+            # step has been accepted: a FIRST-step rejection means the
+            # near-GN step overshot in the nonlinear region (fresh
+            # large-residual loop closure), where standard LM damping
+            # retries are exactly what makes progress.
+            done = (improvement < rel_tol) & (accept | (accepted > 0))
         else:
             done = accept & (improvement < rel_tol)
         poses = jnp.where(accept, new_poses, poses)

@@ -79,8 +79,10 @@ def make_reading_room_world() -> SyntheticWorld:
     segs = [
         # outer walls
         [-5, -4, 5, -4], [5, -4, 5, 4], [5, 4, -5, 4], [-5, 4, -5, -4],
-        # reading nooks (wall stubs)
-        [-5, 0, -3.5, 0], [5, 0, 3.5, 0],
+        # reading nooks (wall stubs) — tips stay >=0.4 m clear of the
+        # waypoint path (a pose on structure makes the raycaster carve
+        # through it; see CLAUDE.md lore)
+        [-5, 0, -4.0, 0], [5, 0, 3.9, 0],
     ]
     w = SyntheticWorld(np.array(segs, dtype=np.float64))
     w = w.add_box(0.0, 0.0, 1.6, 1.0)      # central table

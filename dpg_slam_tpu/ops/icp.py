@@ -324,7 +324,12 @@ def _icp_align_impl(
         )
         # No convergence freezing while any annealing is still in
         # progress — a coarse-gate local optimum is not convergence.
-        annealing = (gate_multiplier > 1.0) & (it < anneal_iters - 1)
+        # Held through it == anneal_iters - 1 (the last still-coarse
+        # iteration) so the first iteration where an annealed pair may
+        # freeze runs at the FINE gate: the early-exit below then always
+        # reports num_corr/fitness/overlap at multiplier 1, preserving
+        # the acceptance-at-fine-gate invariant.
+        annealing = (gate_multiplier > 1.0) & (it < anneal_iters)
         state = state._replace(active=state.active | annealing)
         return state, it + 1.0
 

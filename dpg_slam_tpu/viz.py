@@ -51,6 +51,13 @@ class Color4f:
             int(round(255 * max(0.0, min(1.0, c)))) for c in (self.r, self.g, self.b, self.a)
         )
 
+    @classmethod
+    def from_hex(cls, h: str, alpha: float = 1.0) -> "Color4f":
+        h = h.lstrip("#")
+        r, g, b = (int(h[i : i + 2], 16) / 255.0 for i in (0, 2, 4))
+        a = int(h[6:8], 16) / 255.0 if len(h) >= 8 else alpha
+        return cls(r, g, b, a)
+
 
 # gui_helpers.h kColor* constants.
 Color4f.WHITE = Color4f(1, 1, 1, 1)
@@ -175,15 +182,20 @@ class Canvas:
         return {"points": pts, "lines": lines, "arcs": arcs, "frame": self.frame}
 
     def render(self, ax=None, out_path: str | None = None, dpi: int = 120):
-        """Draw onto a matplotlib axis (created if needed); optionally save."""
-        import matplotlib
+        """Draw onto a matplotlib axis (created if needed); optionally save
+        (to the caller's figure when `ax` is provided)."""
+        if ax is None:
+            # Only force the headless backend for figures we create;
+            # switching backends closes a caller's existing figures.
+            import matplotlib
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+            matplotlib.use("Agg")
         from matplotlib.patches import Arc
 
         fig = None
         if ax is None:
+            import matplotlib.pyplot as plt
+
             fig, ax = plt.subplots(figsize=(8, 7))
         if self._points:
             xs = [p[0] for p in self._points]
@@ -204,10 +216,13 @@ class Canvas:
         for x, y, text, color in self._texts:
             ax.text(x, y, text, color=color.to_hex(), fontsize=8)
         ax.set_aspect("equal")
-        if out_path is not None and fig is not None:
-            fig.tight_layout()
-            fig.savefig(out_path, dpi=dpi)
-            plt.close(fig)
+        if out_path is not None:
+            target = fig if fig is not None else ax.figure
+            target.savefig(out_path, dpi=dpi)
+            if fig is not None:
+                import matplotlib.pyplot as plt
+
+                plt.close(fig)
         return ax
 
 
@@ -229,23 +244,14 @@ def draw_session(engine, canvas: Canvas | None = None) -> Canvas:
     SLAM + odometry pose ticks."""
     canvas = canvas or Canvas()
     layers = export_layers(engine)
-    palette = {
-        "map": Color4f(0.53, 0.53, 0.53, 0.8),
-        "active_static": Color4f(0.09, 0.75, 0.81),
-        "active_added": Color4f(0.17, 0.63, 0.17),
-        "dynamic_added": Color4f(0.6, 0.87, 0.54),
-        "dynamic_removed": Color4f(0.84, 0.15, 0.16),
-    }
-    for name, color in palette.items():
+    for name in ("map", "active_static", "active_added", "dynamic_added", "dynamic_removed"):
         pts = layers.get(name)
         if pts is not None and len(pts):
-            canvas.draw_points(pts, color, size=1.5)
-    for name, color in (
-        ("trajectory", Color4f(0.12, 0.47, 0.71)),
-        ("odometry", Color4f(1.0, 0.5, 0.05, 0.7)),
-    ):
+            canvas.draw_points(pts, Color4f.from_hex(_COLORS[name]), size=1.5)
+    for name in ("trajectory", "odometry"):
         tr = layers.get(name)
         if tr is not None and len(tr):
+            color = Color4f.from_hex(_COLORS[name])
             for seg in trajectory_ticks(tr):
                 canvas.draw_line(seg[:2], seg[2:], color)
     return canvas
