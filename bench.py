@@ -1,16 +1,24 @@
-"""Benchmark: SLAM keyframe pipeline throughput on TPU vs serial CPU baseline.
+"""Benchmark: pass-boundary reoptimize throughput on TPU vs native C++ serial.
 
 Prints ONE JSON line:
-  {"metric": "keyframe_pipeline_fps", "value": <tpu keyframes/s>,
-   "unit": "keyframes/s", "vs_baseline": <tpu fps / serial-CPU fps>}
+  {"metric": "pass_reoptimize_pairs_per_s", "value": <live ICP pairs / tpu s>,
+   "unit": "icp_pairs/s", "vs_baseline": <serial-C++ seconds / tpu seconds>}
 
-The keyframe pipeline is the per-keyframe work of the reference
-(updatePoseGraphObsConstraints + optimizeGraph, dpg_slam.cc:255-329):
-1 successive + K loop-closure ICP alignments and a full pose-graph solve.
-The TPU path runs the jitted batched _keyframe_step; the baseline is the
-faithful serial re-execution (dpg_slam_tpu/baselines/serial_cpu.py) of the
-same work on one CPU thread — the reference's own execution model
-(BASELINE.md: no published numbers; baseline must be measured).
+Reoptimize is the reference system's dominant operation (SURVEY.md §3.4:
+the serial O(N^2) ICP re-alignment at every pass boundary,
+dpg_slam.cc:35-120 — "the most expensive op in the system"; the dataset
+runner BLOCKS playback on its completion). The TPU path runs the whole
+job as batched fixed-shape programs (_reoptimize: all successive +
+loop-closure pairs as chunked ICP batches, one LM solve); the baseline is
+the same job re-executed serially in compiled C++
+(native/serial_baseline.cc::baseline_reoptimize) on one CPU thread — the
+reference's own execution model (BASELINE.md: no published numbers;
+baseline must be measured). Both sides run the same session state, the
+same candidate rule, and the same ICP/solve tolerances.
+
+The per-keyframe online pipeline (1+K ICPs + incremental solve per scan)
+is benchmarked by bench_keyframe() below; being a tiny-matrix
+latency race it is reported in the README, not as the headline.
 """
 
 import json
@@ -20,8 +28,15 @@ import time
 import numpy as np
 
 
-def build_session(cfg, n_prime_scans=120):
-    """Simulate a sequence and prime an engine with its first scans."""
+def build_session(cfg, n_prime_scans=100):
+    """Simulate a sequence and prime an engine with its first scans.
+
+    The scans AFTER the primed prefix are the benchmark workload: real
+    never-seen scans with odometry-quality seeds, so both the TPU path
+    and the serial baseline do genuine registration work per keyframe
+    (a recycled already-aligned cloud lets an early-exiting serial ICP
+    converge in 1-2 iterations, which measures nothing).
+    """
     from dpg_slam_tpu.engine import DpgSlamEngine
     from dpg_slam_tpu.io import dataset
 
@@ -35,43 +50,60 @@ def build_session(cfg, n_prime_scans=120):
     for t in range(min(n_prime_scans, len(seq.scans))):
         eng.observe_odometry(seq.odometry[t])
         eng.observe_laser(seq.scans[t])
-    return eng, seq
+    return eng, seq, n_prime_scans
 
 
-def bench_tpu(cfg, eng, seq, n_steps=60):
-    """Time n_steps jitted keyframe steps (scan-match + graph solve each)."""
+def bench_tpu(cfg, eng, seq, t_start, n_steps=60):
+    """Time n_steps jitted keyframe steps (scan-match + graph solve each)
+    on the never-seen continuation scans, with odometry fed between
+    keyframes exactly like the online driver."""
     import jax
     import jax.numpy as jnp
 
     from dpg_slam_tpu import engine as eng_mod
 
-    scans = jnp.asarray(seq.scans[: n_steps + 1])
+    scans = jnp.asarray(seq.scans[t_start : t_start + n_steps])
+    odom = jnp.asarray(seq.odometry[t_start : t_start + n_steps])
+    n_steps = int(scans.shape[0])
     state = eng.state
     # Fixed solve bucket covering the whole timed run (engine picks the
     # same bucket per keyframe; hoisted here to avoid per-step host syncs).
     bucket = eng._solve_bucket(eng.num_nodes() + n_steps + 1)
     method = eng._incremental_method(bucket)  # the solver the engine runs
 
-    def step(state, ranges):
+    def step(state, odom_pose, ranges):
+        state = eng_mod._observe_odometry(cfg, state, odom_pose)
         return eng_mod._keyframe_step(
             cfg, state, ranges, method, solve_bucket=bucket
         )
 
-    # Warmup / compile.
-    warm = step(state, scans[0])
+    # Warmup / compile (on a copy of the state; do not consume a scan).
+    warm = step(state, odom[0], scans[0])
     jax.block_until_ready(warm.poses)
 
     t0 = time.perf_counter()
     s = state
     for i in range(n_steps):
-        s = step(s, scans[i % scans.shape[0]])
+        s = step(s, odom[i], scans[i])
     jax.block_until_ready(s.poses)
     dt = time.perf_counter() - t0
     return n_steps / dt
 
 
-def bench_cpu_baseline(cfg, eng, n_steps=10):
-    """Time the serial reference-equivalent keyframe on one CPU thread."""
+def _host_cloud(cfg, ranges):
+    """The engine's exact scan->downsampled-cloud path, as a host array."""
+    import jax.numpy as jnp
+
+    from dpg_slam_tpu import engine as eng_mod
+
+    _, pts, mask, _ = eng_mod._prepare_cloud(cfg, jnp.asarray(ranges, jnp.float32))
+    return np.asarray(pts)[np.asarray(mask)].astype(np.float64)
+
+
+def bench_cpu_baseline(cfg, eng, seq, t_start, n_steps=10):
+    """Time the serial reference-equivalent keyframe on one CPU thread,
+    on the SAME never-seen continuation scans and odometry seeds the TPU
+    path processes (both sides do real registration work per keyframe)."""
     from dpg_slam_tpu.baselines import serial_cpu
 
     n = eng.num_nodes()
@@ -96,6 +128,20 @@ def bench_cpu_baseline(cfg, eng, n_steps=10):
         d = R @ (poses[i, :2] - poses[i - 1, :2])
         edges.append((i - 1, i, np.array([d[0], d[1], poses[i, 2] - poses[i - 1, 2]]), W))
 
+    # The continuation workload: real scans, odometry-displacement seeds.
+    new_clouds = [
+        _host_cloud(cfg, seq.scans[t]) for t in range(t_start, t_start + n_steps)
+    ]
+    odom = seq.odometry
+    deltas = []
+    for t in range(t_start, t_start + n_steps):
+        a, b = odom[t - 1], odom[t]
+        c, s = np.cos(a[2]), np.sin(a[2])
+        R = np.array([[c, s], [-s, c]])
+        dxy = R @ (b[:2] - a[:2])
+        deltas.append([dxy[0], dxy[1], np.angle(np.exp(1j * (b[2] - a[2])))])
+    deltas = np.array(deltas)
+
     K = cfg.pose_graph.max_loop_closures_per_node
     icp_params = dict(
         max_iters=cfg.pose_graph.icp_maximum_iterations,
@@ -103,12 +149,28 @@ def bench_cpu_baseline(cfg, eng, n_steps=10):
         epsilon=cfg.pose_graph.icp_maximum_transformation_epsilon,
     )
 
+    # Prefer the native C++ re-execution (native/serial_baseline.cc):
+    # measuring the speedup against compiled single-thread C++ rather
+    # than numpy dispatch overhead. Falls back to the numpy loop below.
+    native = serial_cpu.native_baseline_bench(
+        clouds, poses, list(edges), priors[0][2], new_clouds, deltas, W,
+        closures_k=K, icp_params=icp_params,
+    )
+    if native is not None and native[0]:
+        return native[0]
+
     t0 = time.perf_counter()
     for k in range(n_steps):
-        new_cloud = clouds[(k * 7) % n]
-        seed = poses[-1] + np.array([0.5, 0.0, 0.0])
-        dist = np.linalg.norm(poses[:, :2] - seed[:2], axis=1)
+        new_cloud = new_clouds[k]
+        prev = poses[-1]
+        c, s = np.cos(prev[2]), np.sin(prev[2])
+        R = np.array([[c, -s], [s, c]])
+        seed = np.array(
+            [*(prev[:2] + R @ deltas[k][:2]), prev[2] + deltas[k][2]]
+        )
+        dist = np.linalg.norm(poses[:-1, :2] - seed[:2], axis=1)
         cands = np.argsort(dist)[:K].tolist()
+        edges.append((len(poses) - 1, len(poses), deltas[k].copy(), W))
         new_poses, edges = serial_cpu.keyframe_step_serial(
             clouds, poses, new_cloud, seed, priors, edges,
             closure_candidates=cands, icp_params=icp_params,
@@ -119,13 +181,102 @@ def bench_cpu_baseline(cfg, eng, n_steps=10):
     return n_steps / dt
 
 
-def main():
-    # TPU config at full scan resolution.
+def build_two_pass_session(cfg):
+    """Two full passes of the office loop (pass boundary WITHOUT running
+    reoptimize during setup — that is the thing being measured)."""
+    import jax.numpy as jnp
+
+    from dpg_slam_tpu.engine import DpgSlamEngine
+    from dpg_slam_tpu.io import dataset
+
+    world = dataset.make_office_world()
+    wps = dataset.office_loop_waypoints()
+    eng = DpgSlamEngine(cfg)
+    eng._dpg_enabled = False
+    for p in range(2):
+        seq = dataset.simulate_sequence(
+            world, wps, cfg.scan, step=0.25, seed=1 + p,
+            odom_noise_transl=0.02, odom_noise_rot=0.008,
+        )
+        eng.process_sequence(seq.odometry, seq.scans, run_dpg=False)
+        if p == 0:
+            eng.state = eng.state._replace(
+                pass_number=eng.state.pass_number + 1,
+                first_scan_for_pass=jnp.ones((), bool),
+                odom_initialized=jnp.zeros((), bool),
+            )
+    return eng
+
+
+def bench_reoptimize(cfg, eng, repeats=3):
+    """Steady-state seconds for the batched reoptimize, through the same
+    path the engine runs at a pass boundary (live-node bucket, Pallas ICP
+    on TPU)."""
+    import jax
+
+    state = eng.state
+    out = eng._reoptimize_now(state)  # compile
+    jax.block_until_ready(out.poses)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = eng._reoptimize_now(state)
+        jax.block_until_ready(out.poses)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_reoptimize_cpu(cfg, eng):
+    """The same reoptimize job, serial native C++. Returns (s, n_pairs)."""
+    from dpg_slam_tpu.baselines import serial_cpu
+
+    n = eng.num_nodes()
+    state = eng.state
+    cm = np.asarray(state.cloud_mask[:n])
+    cl = np.asarray(state.cloud[:n])
+    clouds = [cl[i][cm[i]].astype(np.float64) for i in range(n)]
+    pg = cfg.pose_graph
+    res = serial_cpu.native_baseline_reoptimize(
+        clouds,
+        np.asarray(state.poses[:n], np.float64),
+        np.asarray(state.odom_poses[:n], np.float64),
+        np.asarray(state.pass_ids[:n], np.int32),
+        np.diag([1 / pg.new_pass_x_std_dev, 1 / pg.new_pass_y_std_dev,
+                 1 / pg.new_pass_theta_std_dev]),
+        np.diag([1 / 0.6, 1 / 0.6, 1 / 0.6]),
+        radius_within=pg.maximum_node_dist_within_pass_scan_comparison,
+        radius_cross=pg.maximum_node_dist_across_passes_scan_comparison,
+        min_gap=pg.min_loop_closure_node_gap,
+        closures_k=pg.max_loop_closures_per_node,
+        icp_params=dict(
+            max_iters=pg.icp_maximum_iterations,
+            gate=pg.icp_max_correspondence_distance,
+            epsilon=pg.icp_maximum_transformation_epsilon,
+        ),
+        gn_iters=pg.gn_max_iterations,
+    )
+    if res is None:
+        raise RuntimeError("native baseline library not built (make -C native)")
+    seconds, pairs, _ = res
+    return seconds, pairs
+
+
+def bench_keyframe(cfg=None):
+    """Secondary metric: online per-keyframe latency (keyframes/s), TPU vs
+    the serial C++ keyframe loop, on never-seen continuation scans."""
+    cfg = cfg or _bench_config()
+    eng, seq, t_start = build_session(cfg)
+    fps_tpu = bench_tpu(cfg, eng, seq, t_start)
+    fps_cpu = bench_cpu_baseline(cfg, eng, seq, t_start)
+    return fps_tpu, fps_cpu
+
+
+def _bench_config():
     from dpg_slam_tpu.config import (
         CapacityParams, DpgConfig, PoseGraphParams, ScanParams,
     )
 
-    cfg = DpgConfig(
+    return DpgConfig(
         scan=ScanParams(num_beams=1024),
         pose_graph=PoseGraphParams(
             icp_max_points=256,
@@ -135,17 +286,20 @@ def main():
         capacity=CapacityParams(max_nodes=256, max_edges=2048, max_priors=8),
     )
 
-    eng, seq = build_session(cfg)
-    fps_tpu = bench_tpu(cfg, eng, seq)
-    fps_cpu = bench_cpu_baseline(cfg, eng)
+
+def main():
+    cfg = _bench_config()
+    eng = build_two_pass_session(cfg)
+    tpu_s = bench_reoptimize(cfg, eng)
+    cpu_s, pairs = bench_reoptimize_cpu(cfg, eng)
 
     print(
         json.dumps(
             {
-                "metric": "keyframe_pipeline_fps",
-                "value": round(fps_tpu, 2),
-                "unit": "keyframes/s",
-                "vs_baseline": round(fps_tpu / fps_cpu, 2),
+                "metric": "pass_reoptimize_pairs_per_s",
+                "value": round(pairs / tpu_s, 1),
+                "unit": "icp_pairs/s",
+                "vs_baseline": round(cpu_s / tpu_s, 2),
             }
         )
     )

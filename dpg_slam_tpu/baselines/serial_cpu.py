@@ -22,7 +22,135 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["icp_serial", "solve_serial", "keyframe_step_serial"]
+__all__ = [
+    "icp_serial",
+    "solve_serial",
+    "keyframe_step_serial",
+    "native_baseline_bench",
+    "native_baseline_reoptimize",
+]
+
+
+def native_baseline_reoptimize(
+    clouds, poses, odom_poses, pass_ids, prior_sqrt_info, odo_sqrt_info, *,
+    radius_within, radius_cross, min_gap, closures_k, icp_params,
+    gn_iters=20, return_poses=False,
+):
+    """The reference's reoptimize (dpg_slam.cc:35-120) run serially in
+    native C++ (native/serial_baseline.cc): every successive-pair ICP,
+    every in-radius loop-closure ICP (K nearest per node), one full GN.
+    Returns (seconds, n_icp_pairs, final_poses|None) or None when the
+    native library is unavailable."""
+    import ctypes
+
+    from dpg_slam_tpu.io.logs import native_lib
+
+    lib = native_lib()
+    if lib is None or not hasattr(lib, "baseline_reoptimize"):
+        return None
+    n = len(clouds)
+    max_p = max(len(c) for c in clouds)
+    cl = np.zeros((n, max_p, 2), np.float32)
+    sizes = np.zeros((n,), np.int32)
+    for i, c in enumerate(clouds):
+        cl[i, : len(c)] = c
+        sizes[i] = len(c)
+    poses_in = np.ascontiguousarray(poses, np.float64)
+    odom_in = np.ascontiguousarray(odom_poses, np.float64)
+    pids = np.ascontiguousarray(pass_ids, np.int32)
+    prior_w = np.ascontiguousarray(prior_sqrt_info, np.float64).reshape(9)
+    odo_w = np.ascontiguousarray(odo_sqrt_info, np.float64).reshape(9)
+    out = np.zeros((n * 3,), np.float64)
+    pairs = np.zeros((1,), np.int32)
+
+    f = lib.baseline_reoptimize
+    f.restype = ctypes.c_double
+    p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    seconds = f(
+        p(cl, ctypes.c_float), p(sizes, ctypes.c_int32),
+        ctypes.c_int(n), ctypes.c_int(max_p),
+        p(poses_in, ctypes.c_double), p(odom_in, ctypes.c_double),
+        p(pids, ctypes.c_int32),
+        p(prior_w, ctypes.c_double), p(odo_w, ctypes.c_double),
+        ctypes.c_double(radius_within), ctypes.c_double(radius_cross),
+        ctypes.c_int(min_gap), ctypes.c_int(closures_k),
+        ctypes.c_int(icp_params.get("max_iters", 60)),
+        ctypes.c_double(icp_params.get("gate", 0.6)),
+        ctypes.c_double(icp_params.get("epsilon", 5e-9)),
+        ctypes.c_int(gn_iters),
+        p(out, ctypes.c_double), p(pairs, ctypes.c_int32),
+    )
+    res_poses = out.reshape(-1, 3) if return_poses else None
+    return seconds, int(pairs[0]), res_poses
+
+
+def native_baseline_bench(
+    clouds, poses, edges, prior_sqrt_info, new_clouds, odom_deltas,
+    odo_sqrt_info, *, closures_k, icp_params, return_poses=False,
+):
+    """Run the benchmark keyframe loop in the native C++ baseline
+    (native/serial_baseline.cc) — same semantics as this module, compiled
+    single-thread C++, on real continuation keyframes. Returns
+    (keyframes/s, final_poses|None), or None when the native library is
+    unavailable.
+
+    clouds: list of (P_i, 2) primed node clouds; poses: (n0, 3);
+    edges: [(i, j, meas(3,), sqrt_info(3,3))] odometry chain;
+    new_clouds: list of (P_k, 2) never-seen keyframe clouds;
+    odom_deltas: (n_steps, 3) robot-frame odometry displacement per step.
+    """
+    import ctypes
+
+    from dpg_slam_tpu.io.logs import native_lib
+
+    lib = native_lib()
+    if lib is None or not hasattr(lib, "baseline_bench"):
+        return None
+    n0 = len(clouds)
+    n_steps = len(new_clouds)
+    max_p = max(max(len(c) for c in clouds), max(len(c) for c in new_clouds))
+
+    def pack(cloud_list):
+        n = len(cloud_list)
+        arr = np.zeros((n, max_p, 2), np.float32)
+        sz = np.zeros((n,), np.int32)
+        for i, c in enumerate(cloud_list):
+            arr[i, : len(c)] = c
+            sz[i] = len(c)
+        return arr, sz
+
+    cl, sizes = pack(clouds)
+    ncl, nsizes = pack(new_clouds)
+    poses0 = np.ascontiguousarray(poses, np.float64)
+    e_idx = np.array([[i, j] for i, j, _, _ in edges], np.int32).reshape(-1, 2)
+    e_meas = np.array([m for _, _, m, _ in edges], np.float64).reshape(-1, 3)
+    e_w = np.array([w for _, _, _, w in edges], np.float64).reshape(-1, 9)
+    prior_w = np.ascontiguousarray(prior_sqrt_info, np.float64).reshape(9)
+    odo_w = np.ascontiguousarray(odo_sqrt_info, np.float64).reshape(9)
+    deltas = np.ascontiguousarray(odom_deltas, np.float64).reshape(-1, 3)
+    out = np.zeros(((n0 + n_steps) * 3,), np.float64)
+
+    f = lib.baseline_bench
+    f.restype = ctypes.c_double
+    p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    seconds = f(
+        p(cl, ctypes.c_float), p(sizes, ctypes.c_int32),
+        ctypes.c_int(n0), ctypes.c_int(max_p),
+        p(poses0, ctypes.c_double),
+        p(e_idx, ctypes.c_int32), p(e_meas, ctypes.c_double),
+        p(e_w, ctypes.c_double), ctypes.c_int(len(edges)),
+        p(prior_w, ctypes.c_double),
+        p(ncl, ctypes.c_float), p(nsizes, ctypes.c_int32),
+        p(deltas, ctypes.c_double), p(odo_w, ctypes.c_double),
+        ctypes.c_int(closures_k),
+        ctypes.c_int(icp_params.get("max_iters", 60)),
+        ctypes.c_double(icp_params.get("gate", 0.6)),
+        ctypes.c_double(icp_params.get("epsilon", 5e-9)),
+        ctypes.c_int(n_steps),
+        p(out, ctypes.c_double),
+    )
+    fps = n_steps / seconds if seconds > 0 else None
+    return (fps, out.reshape(-1, 3)) if return_poses else (fps, None)
 
 
 def _wrap(a):

@@ -68,6 +68,13 @@ class PoseGraphParams:
     # produce the same results (tests/test_icp_pallas.py); the kernel is
     # currently ~7% faster on v5e with more headroom to come.
     icp_coarse_gate_multiplier: float = 3.0
+    reoptimize_gate_multiplier: float = 1.0
+    # Gate multiplier for REOPTIMIZE loop-closure pairs. Unlike online
+    # closures (seeded through accumulated odometry drift), reoptimize
+    # seeds come from already-optimized poses, so the coarse-to-fine
+    # annealing is unnecessary: 1.0 uses the fine gate from iteration 0
+    # and lets converged pairs exit early (~2x reoptimize wall-clock).
+    # Raise toward icp_coarse_gate_multiplier for badly-drifted sessions.
     # Coarse-to-fine correspondence gating: iterations start with
     # multiplier * icp_max_correspondence_distance and anneal to 1x over
     # the first 2/3 of iterations, letting ICP recover from seed errors

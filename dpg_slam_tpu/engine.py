@@ -379,10 +379,13 @@ def _keyframe_solve(
         damping_init=pg.gn_damping_init,
         method=solve_method,
         robust_delta=pg.robust_delta,
-        # Warm-started incremental solve: a rejected LM step means "already
-        # at the optimum" — don't burn factorizations on damping retries.
+        # Warm-started incremental solve: a rejected LM step (after one
+        # damping retry) means "already at the optimum" — don't burn
+        # factorizations; the pass-boundary reoptimize does the careful
+        # high-precision solve.
         gradient_tol=pg.gn_gradient_tol,
         terminate_on_reject=True,
+        rel_tol=1e-4,
     )
     poses = jax.lax.dynamic_update_slice(state.poses, poses_b, (0, 0))
     return state._replace(poses=poses)
@@ -651,9 +654,10 @@ def _reoptimize_pairs(cfg: DpgConfig, state: SlamState):
     seeds = geom.between(state.poses[flat_tgt], state.poses[flat_src])
 
     # Successive pairs (slot 0 of each node's 1+K block) are well-seeded;
-    # closures get the coarse-to-fine gate.
+    # closures get the reoptimize gate (1.0 by default: seeds come from
+    # optimized poses, so no annealing — see config).
     flat_is_succ = (jnp.arange(flat_src.shape[0]) % (1 + K)) == 0
-    flat_gate = jnp.where(flat_is_succ, 1.0, pg.icp_coarse_gate_multiplier).astype(
+    flat_gate = jnp.where(flat_is_succ, 1.0, pg.reoptimize_gate_multiplier).astype(
         jnp.float32
     )
     return flat_src, flat_tgt, flat_valid, seeds, flat_gate
@@ -905,6 +909,23 @@ class DpgSlamEngine:
             b *= 2
         return min(b, cap)
 
+    def _reopt_config(self) -> DpgConfig:
+        """Config for the pass-boundary reoptimize: on real TPU hardware
+        the fused Pallas ICP kernel wins at reoptimize batch sizes (full
+        VMEM residency + per-block early exit); elsewhere (CPU tests,
+        interpret overhead) the XLA path stays."""
+        import dataclasses as dc
+
+        if (
+            jax.default_backend() not in ("tpu", "axon")
+            or self.config.pose_graph.use_pallas_icp
+        ):
+            return self.config
+        return dc.replace(
+            self.config,
+            pose_graph=dc.replace(self.config.pose_graph, use_pallas_icp=True),
+        )
+
     def _incremental_method(self, bucket: int) -> str:
         """Linear-solver choice for the warm-started per-keyframe solve:
         Cholesky up to 256 nodes, dense-matvec PCG above (a 1536-dim TPU
@@ -1035,7 +1056,26 @@ class DpgSlamEngine:
 
                 self.state = distributed_reoptimize(self.mesh, self.config, self.state)
             else:
-                self.state = _reoptimize(self.config, self.state, self.solve_method)
+                self.state = self._reoptimize_now(self.state)
+
+    def _reoptimize_now(self, state: SlamState) -> SlamState:
+        """Single-chip reoptimize on a live-sized node bucket: the pair
+        sweep is N*(1+K) ICPs, so capacity padding multiplies the dominant
+        cost directly. Uses the Pallas ICP kernel on real TPU hardware."""
+        nb = self._solve_bucket(int(state.num_nodes))
+        node_fields = (
+            "poses", "odom_poses", "pass_ids", "node_active",
+            "ranges", "labels", "sector_active", "cloud",
+            "cloud_mask", "cloud_normals",
+        )
+        sub = state._replace(
+            **{f: getattr(state, f)[:nb] for f in node_fields}
+        )
+        new_sub = _reoptimize(self._reopt_config(), sub, self.solve_method)
+        return state._replace(
+            poses=jnp.concatenate([new_sub.poses, state.poses[nb:]], axis=0),
+            graph=new_sub.graph,
+        )
 
     def _execute_dpg(self) -> None:
         self.state, self.last_dpg_info = _dpg_step_fn(self.config, self.state)(

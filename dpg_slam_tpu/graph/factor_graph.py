@@ -479,6 +479,7 @@ def _cg_solve(
         "robust_delta",
         "gradient_tol",
         "terminate_on_reject",
+        "rel_tol",
     ),
 )
 def solve(
@@ -493,6 +494,7 @@ def solve(
     robust_delta: float | None = None,
     gradient_tol: float = 0.0,
     terminate_on_reject: bool = False,
+    rel_tol: float = 1e-6,
 ) -> tuple[jnp.ndarray, SolveStats]:
     """Levenberg-Marquardt over the pose graph.
 
@@ -520,8 +522,6 @@ def solve(
     Returns:
       (optimized poses, SolveStats).
     """
-    rel_tol = 1e-6
-
     eq0, err0 = _assemble(poses, g, node_mask, robust_delta)
     gnorm0 = jnp.max(jnp.abs(eq0.rhs))
 
@@ -543,12 +543,13 @@ def solve(
         accept = new_err < err
         improvement = (err - new_err) / jnp.maximum(err, 1e-12)
         if terminate_on_reject:
-            # Stop on tiny-accept OR reject — but only once at least one
-            # step has been accepted: a FIRST-step rejection means the
-            # near-GN step overshot in the nonlinear region (fresh
-            # large-residual loop closure), where standard LM damping
-            # retries are exactly what makes progress.
-            done = (improvement < rel_tol) & (accept | (accepted > 0))
+            # Stop on tiny-accept OR reject — but give a FIRST-step
+            # rejection one damping retry: it can mean the near-GN step
+            # overshot in the nonlinear region (fresh large-residual loop
+            # closure) rather than "already at the optimum". One retry
+            # bounds the already-consistent warm case at two
+            # factorizations instead of max_iterations.
+            done = (improvement < rel_tol) & (accept | (accepted > 0) | (it >= 1))
         else:
             done = accept & (improvement < rel_tol)
         poses = jnp.where(accept, new_poses, poses)

@@ -171,7 +171,9 @@ def _kernel(
         new_th = new_th - 2.0 * jnp.pi * jnp.round(new_th / (2.0 * jnp.pi))
 
         step_sq = stepx * stepx + stepy * stepy + stept * stept
-        annealing = (gate_mult > 1.0) & (it < anneal_iters - 1)
+        # Held through the last still-coarse iteration so exit stats are
+        # always at the fine gate (matches ops/icp.py).
+        annealing = (gate_mult > 1.0) & (it < anneal_iters)
         still = (
             ((active > 0.5) & (step_sq > epsilon)) | annealing
         ).astype(jnp.float32)
@@ -192,8 +194,19 @@ def _kernel(
         ones, zeros, zeros, ones, zeros, ones,
         zeros, ones * _BIG,
     )
-    (ftx, fty, fth, _, H00, H01, H02, H11, H12, H22, ncorr, fitness) = (
-        jax.lax.fori_loop(0, max_iterations, body, init)
+
+    # Early exit once every pair in the block has frozen (annealing pairs
+    # are held active through their schedule, matching ops/icp.py).
+    def cond(carry):
+        it, state = carry
+        return (it < max_iterations) & (jnp.max(state[3]) > 0.5)
+
+    def wbody(carry):
+        it, state = carry
+        return it + 1.0, body(it, state)
+
+    _, (ftx, fty, fth, _, H00, H01, H02, H11, H12, H22, ncorr, fitness) = (
+        jax.lax.while_loop(cond, wbody, (jnp.zeros((), jnp.float32), init))
     )
 
     out_ref[:, :] = jnp.concatenate(
