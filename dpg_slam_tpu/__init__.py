@@ -26,9 +26,18 @@ import jax as _jax
 # normal-equation solves enough to diverge multi-pass registration
 # (measured: office two-pass ATE 5.5 m vs 0.10 m at f32; CPU reference
 # 0.10 m). The hot matmuls here are tiny, so full precision costs ~nothing.
-# Respect an explicit user setting.
+# Respect an explicit user setting, and announce the change once: this
+# mutates process-global JAX state, which can alter numerics/perf of
+# co-resident JAX code.
 if _jax.config.jax_default_matmul_precision is None:
+    import logging as _logging
+
     _jax.config.update("jax_default_matmul_precision", "highest")
+    _logging.getLogger("dpg_slam_tpu").info(
+        "dpg_slam_tpu: set jax_default_matmul_precision='highest' "
+        "process-wide (required for ICP/solver numerics; set it "
+        "explicitly before importing dpg_slam_tpu to override)"
+    )
 
 from dpg_slam_tpu.config import (
     DpgConfig,

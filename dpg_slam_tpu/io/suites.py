@@ -17,6 +17,7 @@ same information-rate effect as a faster bag).
 from __future__ import annotations
 
 import dataclasses
+import math
 import pathlib
 from typing import Sequence as SeqT
 
@@ -83,8 +84,15 @@ def builtin_suites() -> dict[str, Suite]:
             )
             for p in range(4)
         ),
-        # setGdcRosParams (:65-77): looser ICP gate, GDC laser extrinsics.
-        pose_graph_overrides=(("icp_max_correspondence_distance", 0.6),),
+        # setGdcRosParams (dpg_data_runner_main.cc:65-73): GDC laser
+        # extrinsics (kGdcLaser* = 0.2, 0, 0; :16-18) and the GDC keyframe
+        # angle gate (pi/6, :72).
+        pose_graph_overrides=(
+            ("laser_x_in_bl_frame", 0.2),
+            ("laser_y_in_bl_frame", 0.0),
+            ("laser_orientation_rel_bl_frame", 0.0),
+            ("min_angle_between_nodes", math.pi / 6.0),
+        ),
     )
     # MIT reading-room analog: 10 short sessions, windowed 240-310 s
     # (dpg_data_runner_main.cc:116-128).
@@ -102,9 +110,14 @@ def builtin_suites() -> dict[str, Suite]:
             )
             for p in range(10)
         ),
-        # setMitRosParams (:79-89): tighter cross-pass closure radius.
+        # setMitRosParams (dpg_data_runner_main.cc:83-90): MIT laser
+        # extrinsics (kMitLaser* = 0.2, 0, 0 "TODO set this"; :20-22) and
+        # the MIT keyframe angle gate (0.3 rad, :89).
         pose_graph_overrides=(
-            ("maximum_node_dist_across_passes_scan_comparison", 2.0),
+            ("laser_x_in_bl_frame", 0.2),
+            ("laser_y_in_bl_frame", 0.0),
+            ("laser_orientation_rel_bl_frame", 0.0),
+            ("min_angle_between_nodes", 0.3),
         ),
     )
     return {"gdc": gdc, "mit": mit}

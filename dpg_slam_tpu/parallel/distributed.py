@@ -283,10 +283,16 @@ def distributed_reoptimize(mesh: Mesh, cfg, state):
         gate_multiplier=flat_gate,
     )
 
-    graph = eng_mod._reoptimize_pack_graph(
+    graph, n_edge_cand = eng_mod._reoptimize_pack_graph(
         cfg, state, flat_src, flat_tgt, flat_valid,
         res.transform, res.converged, res.covariance,
     )
+    E = graph.edge_idx.shape[0]
+    if int(n_edge_cand) > E:
+        raise RuntimeError(
+            f"reoptimize produced {int(n_edge_cand)} factor candidates but "
+            f"edge capacity is {E}; raise CapacityParams.max_edges"
+        )
 
     poses = distributed_solve(
         mesh,

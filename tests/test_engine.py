@@ -240,3 +240,42 @@ def test_second_pass_reoptimize(office_seq):
         kf_pass2[:, None, :2] - traj[:n_pass1][None, :, :2], axis=-1
     ).min(axis=1)
     assert np.median(d) < 0.6, f"median cross-pass node distance {np.median(d)}"
+
+
+def test_reoptimize_edge_overflow_fails_loudly(office_seq):
+    """Reoptimize can enumerate more factor candidates than edge capacity
+    (N*(1+K)+N worst case); the count must be clamped on device (no
+    zero-information junk slots marked live) and the engine must raise
+    instead of silently solving a thinner graph."""
+    import jax.numpy as jnp
+
+    from dpg_slam_tpu.engine import _reoptimize
+    from dpg_slam_tpu.graph import factor_graph as fg
+
+    cfg = small_config()
+    eng = DpgSlamEngine(cfg)
+    run_sequence(eng, office_seq)
+    assert eng.num_nodes() >= 10
+
+    # Re-home the session state onto a graph with deliberately tiny edge
+    # capacity, so the reoptimize candidate set overflows it.
+    E_small = 16
+    tiny = CapacityParams(
+        max_nodes=cfg.capacity.max_nodes, max_edges=E_small, max_priors=8
+    )
+    small_cfg = cfg.replace(capacity=tiny)
+    state = eng.state._replace(graph=fg.empty_graph(8, E_small))
+
+    new_state, n_cand = _reoptimize(small_cfg, state, "dense")
+    assert int(n_cand) > E_small, "test setup failed to overflow"
+    # Clamped: the live count never exceeds capacity (junk slots stay dead).
+    assert int(new_state.graph.num_edges) == E_small
+    assert bool(jnp.all(new_state.graph.edge_mask))
+
+    eng_small = DpgSlamEngine(small_cfg)
+    eng_small.state = state._replace(
+        pass_number=state.pass_number + 1,
+        first_scan_for_pass=jnp.ones((), bool),
+    )
+    with pytest.raises(RuntimeError, match="factor candidates"):
+        eng_small._reoptimize_now(eng_small.state)
