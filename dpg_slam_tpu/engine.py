@@ -679,6 +679,50 @@ def _reoptimize_pairs(cfg: DpgConfig, state: SlamState):
     return flat_src, flat_tgt, flat_valid, seeds, flat_gate
 
 
+def _reoptimize_valid_host(cfg: DpgConfig, poses, pass_ids, node_mask):
+    """Host (numpy) replica of _reoptimize_pairs' VALIDITY — which of the
+    N*(1+K) flat slots hold a live pair.
+
+    Used to compact the reoptimize ICP sweep (70%+ of flat slots are dead
+    padding) without an extra device round trip for the mask. Only the
+    per-node valid-candidate COUNT matters, not which j lands in which
+    slot: lax.top_k(-score) orders all finite-score (valid) candidates
+    before the inf-score ones, so slot k of node i is valid iff
+    k < min(K, #valid candidates). Exactness vs the device enumeration is
+    pinned by tests/test_engine.py::test_reoptimize_valid_host_parity.
+    """
+    pg = cfg.pose_graph
+    N = poses.shape[0]
+    K = pg.max_loop_closures_per_node
+    idx = np.arange(N)
+
+    succ_valid = node_mask & (idx > 0)
+
+    diff = poses[:, None, 0:2] - poses[None, :, 0:2]
+    dist = np.linalg.norm(diff, axis=-1)
+    same_pass = pass_ids[:, None] == pass_ids[None, :]
+    thr = np.where(
+        same_pass,
+        pg.maximum_node_dist_within_pass_scan_comparison,
+        pg.maximum_node_dist_across_passes_scan_comparison,
+    )
+    gap_ok = np.where(
+        same_pass,
+        (idx[:, None] - idx[None, :]) >= pg.min_loop_closure_node_gap,
+        True,
+    )
+    cand_ok = (
+        node_mask[:, None]
+        & node_mask[None, :]
+        & (idx[None, :] < (idx[:, None] - 1))
+        & (dist <= thr)
+        & gap_ok
+    )
+    n_cand = np.minimum(cand_ok.sum(axis=1), K)          # (N,)
+    slot_valid = np.arange(K)[None, :] < n_cand[:, None]  # (N, K)
+    return np.concatenate([succ_valid[:, None], slot_valid], axis=1).reshape(-1)
+
+
 def _reoptimize_pack_graph(
     cfg: DpgConfig,
     state: SlamState,
@@ -793,59 +837,71 @@ def _reoptimize_pack_graph(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "solve_method"))
 def _reoptimize(
-    cfg: DpgConfig, state: SlamState, solve_method: str
+    cfg: DpgConfig,
+    state: SlamState,
+    compact_idx: jnp.ndarray,     # (B,) int32 flat-slot index of each live pair
+    compact_valid: jnp.ndarray,   # (B,) bool (False on padding)
+    solve_method: str,
 ) -> tuple[SlamState, jnp.ndarray]:
     """Global re-alignment at a pass boundary (reoptimize, dpg_slam.cc:35-120).
 
     Rebuilds the graph from scratch: per-pass priors, odometry factors from
     the stored odometry log, re-run successive ICPs seeded from *optimized*
     poses, re-run loop-closure search for every node against its top-K
-    in-radius predecessors. All ICP pairs are batched into one call of
-    N*(K+1) fixed-shape pairs, replacing the serial O(N^2) loop that is the
+    in-radius predecessors — replacing the serial O(N^2) loop that is the
     reference's most expensive operation (SURVEY.md §3.4).
+
+    The ICP sweep runs COMPACTED: ``compact_idx`` (host-computed from the
+    numpy validity replica, _reoptimize_valid_host) selects only the live
+    slots of the N*(1+K) flat pair enumeration — typically ~25-30% of it —
+    sorted successive-first so fast-converging pairs share kernel blocks
+    and early-exit together. Everything (enumeration, gather, ICP, scatter
+    back, graph pack, LM solve) is ONE jitted program: one dispatch per
+    reoptimize, which matters both for latency and because the TPU relay
+    has episodes of ~25 ms per-dispatch overhead.
+
+    Safety: slots not covered by compact_idx fall back to their seed
+    transform with converged=False — successive factors degrade to the
+    odometry-consistent measurement, closures are dropped.
     """
     pg = cfg.pose_graph
     node_mask = state.node_mask
 
     flat_src, flat_tgt, flat_valid, seeds, flat_gate = _reoptimize_pairs(cfg, state)
-
-    chunk = 256
     n_flat = flat_src.shape[0]
-    pad = (-n_flat) % chunk
-    if pad:
-        flat_src = jnp.concatenate([flat_src, jnp.zeros((pad,), flat_src.dtype)])
-        flat_tgt = jnp.concatenate([flat_tgt, jnp.zeros((pad,), flat_tgt.dtype)])
-        flat_valid = jnp.concatenate([flat_valid, jnp.zeros((pad,), bool)])
-        seeds = jnp.concatenate([seeds, jnp.zeros((pad, 3), seeds.dtype)])
-        flat_gate = jnp.concatenate([flat_gate, jnp.ones((pad,), flat_gate.dtype)])
 
-    def run_chunk(c):
-        s = c * chunk
-        src_i = jax.lax.dynamic_slice_in_dim(flat_src, s, chunk)
-        tgt_i = jax.lax.dynamic_slice_in_dim(flat_tgt, s, chunk)
-        val_i = jax.lax.dynamic_slice_in_dim(flat_valid, s, chunk)
-        seed_i = jax.lax.dynamic_slice_in_dim(seeds, s, chunk)
-        gate_i = jax.lax.dynamic_slice_in_dim(flat_gate, s, chunk)
-        res = icp.icp_align(
-            state.cloud[src_i],
-            state.cloud_mask[src_i] & val_i[:, None],
-            state.cloud[tgt_i],
-            state.cloud_mask[tgt_i] & val_i[:, None],
-            seed_i,
-            pg,
-            tgt_normals=state.cloud_normals[tgt_i],
-            gate_multiplier=gate_i,
-        )
-        return res
+    csrc = flat_src[compact_idx]
+    ctgt = flat_tgt[compact_idx]
+    cval = compact_valid & flat_valid[compact_idx]
+    res = icp.icp_align(
+        state.cloud[csrc],
+        state.cloud_mask[csrc] & cval[:, None],
+        state.cloud[ctgt],
+        state.cloud_mask[ctgt] & cval[:, None],
+        seeds[compact_idx],
+        pg,
+        tgt_normals=state.cloud_normals[ctgt],
+        gate_multiplier=flat_gate[compact_idx],
+    )
 
-    n_chunks = flat_src.shape[0] // chunk
-    results = jax.lax.map(run_chunk, jnp.arange(n_chunks))
-    transforms = results.transform.reshape(-1, 3)[:n_flat]
-    converged = results.converged.reshape(-1)[:n_flat]
-    covs = results.covariance.reshape(-1, 3, 3)[:n_flat]
-    flat_src = flat_src[:n_flat]
-    flat_tgt = flat_tgt[:n_flat]
-    flat_valid = flat_valid[:n_flat]
+    # Scatter compacted results back to flat order. Fallbacks for slots the
+    # compaction did not cover: seed transform, not converged, parity
+    # covariance diagonal (all PSD, keeping the vectorized whitening sane).
+    scatter_to = jnp.where(cval, compact_idx, n_flat)
+    transforms = seeds.at[scatter_to].set(res.transform, mode="drop")
+    converged = (
+        jnp.zeros((n_flat,), bool).at[scatter_to].set(res.converged, mode="drop")
+    )
+    fallback_cov = jnp.broadcast_to(
+        jnp.diag(
+            jnp.asarray(
+                [pg.laser_x_variance, pg.laser_y_variance, pg.laser_theta_variance],
+                jnp.float32,
+            )
+        ),
+        (n_flat, 3, 3),
+    )
+    covs = fallback_cov.at[scatter_to].set(res.covariance, mode="drop")
 
     graph, n_edge_cand = _reoptimize_pack_graph(
         cfg, state, flat_src, flat_tgt, flat_valid, transforms, converged, covs
@@ -1098,7 +1154,10 @@ class DpgSlamEngine:
     def _reoptimize_now(self, state: SlamState) -> SlamState:
         """Single-chip reoptimize on a live-sized node bucket: the pair
         sweep is N*(1+K) ICPs, so capacity padding multiplies the dominant
-        cost directly. Uses the Pallas ICP kernel on real TPU hardware."""
+        cost directly. The sweep is additionally COMPACTED to the live
+        pairs (host-side numpy validity, see _reoptimize_valid_host),
+        sorted successive-first for block early exit, and padded to a
+        64-pair bucket. Uses the Pallas ICP kernel on real TPU hardware."""
         nb = self._solve_bucket(int(state.num_nodes))
         node_fields = (
             "poses", "odom_poses", "pass_ids", "node_active",
@@ -1108,14 +1167,42 @@ class DpgSlamEngine:
         sub = state._replace(
             **{f: getattr(state, f)[:nb] for f in node_fields}
         )
+        compact_idx, compact_valid, n_live = self._reoptimize_compaction(sub, nb)
         new_sub, n_edge_cand = _reoptimize(
-            self._reopt_config(), sub, self.solve_method
+            self._reopt_config(), sub, compact_idx, compact_valid,
+            self.solve_method,
         )
-        self._check_edge_overflow(int(n_edge_cand))
+        # Overflow check without a device sync when a host-side bound
+        # already proves it cannot happen: candidates <= odometry factors
+        # (< live nodes) + live ICP pairs (the compaction count).
+        n_bound = int(state.num_nodes) - 1 + n_live
+        if n_bound > self.config.capacity.max_edges:
+            self._check_edge_overflow(int(n_edge_cand))
         return state._replace(
             poses=jnp.concatenate([new_sub.poses, state.poses[nb:]], axis=0),
             graph=new_sub.graph,
         )
+
+    def _reoptimize_compaction(self, sub: SlamState, nb: int):
+        """Host-side live-pair compaction for the reoptimize sweep:
+        (compact_idx, compact_valid, n_live) — int32/bool device arrays of
+        a 64-bucketed length (successive pairs first, so fast-converging
+        pairs share kernel blocks) plus the host live count."""
+        K = self.config.pose_graph.max_loop_closures_per_node
+        poses, pass_ids = jax.device_get((sub.poses, sub.pass_ids))
+        node_mask = np.arange(nb) < int(sub.num_nodes)
+        valid = _reoptimize_valid_host(
+            self.config, np.asarray(poses), np.asarray(pass_ids), node_mask
+        )
+        live = np.nonzero(valid)[0]
+        is_succ = (live % (1 + K)) == 0
+        order = np.concatenate([live[is_succ], live[~is_succ]])
+        B = max(64, -(-len(order) // 64) * 64)
+        idx = np.zeros((B,), np.int32)
+        idx[: len(order)] = order
+        val = np.zeros((B,), bool)
+        val[: len(order)] = True
+        return jnp.asarray(idx), jnp.asarray(val), len(order)
 
     def _check_edge_overflow(self, n_edge_candidates: int) -> None:
         """Reoptimize can produce more factor candidates than edge capacity

@@ -8,27 +8,35 @@ for a block of pairs per grid program with every intermediate in VMEM:
   * inputs per block: x/y-split point planes (G, P) — the point axis is
     the 128-wide lane dimension, the G=8 pair sub-batch is the sublane
     dimension (matching the f32 (8, 128) tile);
-  * the (G, P, P) squared-distance and match tensors live entirely in
-    VMEM (G=8, P=256: 2 MB each);
+  * only ONE (G, P, P) tensor (the squared-distance matrix) is ever
+    materialized per iteration (G=8, P=256: 2 MB); all other P^2-sized
+    work is fused into the passes that read it;
   * per-pair scalars are (G, 1) columns; the damped 3x3 Gauss-Newton
     solve is a closed-form cofactor inverse on them;
   * per-pair convergence freezing and coarse-to-fine gate annealing match
     ops/icp.py semantics exactly.
 
-HBM traffic per pair drops from ~4 (P, P) tensors per iteration to just
-the input vectors (~6 KB) — the roofline for this op.
+Pass-count discipline (the VPU roofline for this op is the number of
+P^2-element sweeps per iteration):
 
-Measured on TPU v5e (64 pairs x 30 iters, P=256): 11.6 ms vs 12.4 ms for
-the XLA path — XLA already fuses this loop well, so the win is currently
-modest; both sit far from the VPU roofline (~1 us/pair/iter ideal vs ~6
-measured). The known next step is converting the correspondence averages
-(q = Mn @ targets) and the distance cross-term into batched dot_generals
-on the MXU; Mosaic's tiny-trailing-dim layouts make that nontrivial and
-it is deferred.
+  * validity is folded into the COORDINATES (masked source points sit at
+    -1e4, masked targets at +1e4, so every masked distance is >= ~1e7 —
+    far beyond any gate) instead of a (G, P, P) `where(invalid)` pass;
+  * the match matrix is computed in one fused pass
+    ((d2<=rowmin)&(d2<=colmin)&(d2<=gate)) and consumed immediately by
+    the correspondence-average reductions;
+  * averages divide by the match count at (G, P) size, not (G, P, P)
+    (algebraically identical to ops/icp.py's row-normalized form);
+  * the nearest-neighbor distance reuses rowmin (no second min sweep).
+
+That is ~9 P^2 passes/iteration vs ~20 in the v1 kernel. Per-block (G=8)
+early exit remains; callers maximize it by sorting compacted pair lists
+so fast-converging (well-seeded successive) pairs share blocks
+(engine._reoptimize_now).
 
 Semantics parity with ops/icp.py is pinned by tests/test_icp_pallas.py
 (interpret mode on CPU); the real Mosaic path is exercised on TPU by
-bench.py.
+bench.py, which also records the XLA-vs-Pallas transform deviation.
 """
 
 from __future__ import annotations
@@ -46,19 +54,23 @@ __all__ = ["icp_align_pallas"]
 
 _BIG = 1e12
 _G = 8  # pairs per grid program (f32 sublane tile)
+# Masked points are parked at +/- this coordinate (see module docstring):
+# worst-case masked distance (1e4 - trajectory extent)^2 ~ 1e7 is far
+# beyond any achievable gate^2 (~ (0.6 * multiplier)^2), so gating alone
+# excludes them — no (G, P, P) validity tensor needed.
+_MASK_COORD = 1e4
 
 
 def _kernel(
-    src_x_ref,     # (G, P)
+    src_x_ref,     # (G, P)  masked source points parked at -_MASK_COORD
     src_y_ref,     # (G, P)
-    tgt_x_ref,     # (G, P)
+    tgt_x_ref,     # (G, P)  masked target points parked at +_MASK_COORD
     tgt_y_ref,     # (G, P)
     nrm_x_ref,     # (G, P)
     nrm_y_ref,     # (G, P)
     smask_ref,     # (G, P) float 0/1
-    tmask_ref,     # (G, P)
     seed_ref,      # (G, 4)  [tx, ty, th, gate_multiplier]
-    out_ref,       # (G, 16) [tx, ty, th, ncorr, fitness, H00,H01,H02,H11,H12,H22, 0...]
+    out_ref,       # (G, 16) [tx, ty, th, ncorr, fitness, H00,H01,H02,H11,H12,H22, iters, 0...]
     *,
     P: int,
     max_iterations: int,
@@ -76,10 +88,7 @@ def _kernel(
     nx = nrm_x_ref[:, :]
     ny = nrm_y_ref[:, :]
     sm = smask_ref[:, :]
-    tm = tmask_ref[:, :]
     gate_mult = seed_ref[:, 3:4]                       # (G, 1)
-
-    invalid = (sm[:, :, None] * tm[:, None, :]) < 0.5  # (G, P, P)
 
     def body(it, carry):
         ptx, pty, pth, active, H00, H01, H02, H11, H12, H22, ncorr, fitness = carry
@@ -91,29 +100,30 @@ def _kernel(
         dx = mx[:, :, None] - tx[:, None, :]           # (G, P, P)
         dy = my[:, :, None] - ty[:, None, :]
         d2 = dx * dx + dy * dy
-        d2 = jnp.where(invalid, _BIG, d2)
 
         rowmin = jnp.min(d2, axis=2, keepdims=True)    # (G, P, 1)
-        match = d2 <= rowmin
-        if reciprocal:
-            colmin = jnp.min(d2, axis=1, keepdims=True)
-            match = match & (d2 <= colmin)
 
         prog = jnp.maximum(0.0, 1.0 - it / anneal_iters)
         mult = 1.0 + (gate_mult - 1.0) * prog          # (G, 1)
         gate_sq = (max_corr * mult) ** 2
-        match = match & (d2 <= gate_sq[:, :, None])
+
+        # One fused P^2 pass: row-min AND (reciprocal) col-min AND gate.
+        match = (d2 <= rowmin) & (d2 <= gate_sq[:, :, None])
+        if reciprocal:
+            colmin = jnp.min(d2, axis=1, keepdims=True)
+            match = match & (d2 <= colmin)
         mf = match.astype(jnp.float32)
 
         row_cnt = jnp.sum(mf, axis=2)                  # (G, P)
         w = (row_cnt > 0.0) & (sm > 0.5)
         wf = w.astype(jnp.float32)
-        mn = mf / jnp.maximum(row_cnt, 1.0)[:, :, None]
-
-        qx = jnp.sum(mn * tx[:, None, :], axis=2)      # (G, P)
-        qy = jnp.sum(mn * ty[:, None, :], axis=2)
-        qnx = jnp.sum(mn * nx[:, None, :], axis=2)
-        qny = jnp.sum(mn * ny[:, None, :], axis=2)
+        # Correspondence averages: reduce with mf, normalize at (G, P)
+        # (identical to the row-normalized matmul in ops/icp.py).
+        inv_cnt = 1.0 / jnp.maximum(row_cnt, 1.0)
+        qx = jnp.sum(mf * tx[:, None, :], axis=2) * inv_cnt   # (G, P)
+        qy = jnp.sum(mf * ty[:, None, :], axis=2) * inv_cnt
+        qnx = jnp.sum(mf * nx[:, None, :], axis=2) * inv_cnt
+        qny = jnp.sum(mf * ny[:, None, :], axis=2) * inv_cnt
 
         ex = mx - qx
         ey = my - qy
@@ -134,7 +144,7 @@ def _kernel(
         g2 = jnp.sum(wf * nd * r, axis=1, keepdims=True)
 
         n_corr_f = jnp.sum(wf, axis=1, keepdims=True)          # (G, 1)
-        nn_d2 = jnp.min(d2, axis=2)
+        nn_d2 = rowmin[:, :, 0]
         new_fitness = jnp.sum(wf * nn_d2, axis=1, keepdims=True) / jnp.maximum(
             n_corr_f, 1.0
         )
@@ -205,13 +215,13 @@ def _kernel(
         it, state = carry
         return it + 1.0, body(it, state)
 
-    _, (ftx, fty, fth, _, H00, H01, H02, H11, H12, H22, ncorr, fitness) = (
+    fin_it, (ftx, fty, fth, _, H00, H01, H02, H11, H12, H22, ncorr, fitness) = (
         jax.lax.while_loop(cond, wbody, (jnp.zeros((), jnp.float32), init))
     )
 
     out_ref[:, :] = jnp.concatenate(
         [ftx, fty, fth, ncorr, fitness, H00, H01, H02, H11, H12, H22,
-         zeros, zeros, zeros, zeros, zeros],
+         jnp.full((G, 1), fin_it, jnp.float32), zeros, zeros, zeros, zeros],
         axis=1,
     )
 
@@ -243,7 +253,7 @@ def _run_kernel(
     return pl.pallas_call(
         kernel,
         grid=(B // _G,),
-        in_specs=[plane_spec] * 8
+        in_specs=[plane_spec] * 7
         + [pl.BlockSpec((_G, 4), lambda b: (b, 0), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((_G, 16), lambda b: (b, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 16), jnp.float32),
@@ -297,15 +307,17 @@ def icp_align_pallas(
         src_mask, tgt_mask = padb(src_mask), padb(tgt_mask)
         init_guess, gate_multiplier = padb(init_guess), padb(gate_multiplier)
 
+    # Validity folded into coordinates (see module docstring): masked
+    # source points park at -_MASK_COORD, masked targets at +_MASK_COORD,
+    # so every masked pairing is gated out by distance alone.
     planes = (
-        src[..., 0].astype(jnp.float32),
-        src[..., 1].astype(jnp.float32),
-        tgt[..., 0].astype(jnp.float32),
-        tgt[..., 1].astype(jnp.float32),
+        jnp.where(src_mask, src[..., 0], -_MASK_COORD).astype(jnp.float32),
+        jnp.where(src_mask, src[..., 1], -_MASK_COORD).astype(jnp.float32),
+        jnp.where(tgt_mask, tgt[..., 0], _MASK_COORD).astype(jnp.float32),
+        jnp.where(tgt_mask, tgt[..., 1], _MASK_COORD).astype(jnp.float32),
         tgt_normals[..., 0].astype(jnp.float32),
         tgt_normals[..., 1].astype(jnp.float32),
         src_mask.astype(jnp.float32),
-        tgt_mask.astype(jnp.float32),
     )
     seeds = jnp.concatenate(
         [init_guess.astype(jnp.float32), gate_multiplier[:, None]], axis=-1

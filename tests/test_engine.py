@@ -242,6 +242,74 @@ def test_second_pass_reoptimize(office_seq):
     assert np.median(d) < 0.6, f"median cross-pass node distance {np.median(d)}"
 
 
+def test_reoptimize_valid_host_parity(office_seq):
+    """The numpy validity replica used for host-side pair compaction must
+    mark exactly the slots the device enumeration marks (engine.
+    _reoptimize_valid_host docstring)."""
+    from dpg_slam_tpu import engine as eng_mod
+
+    cfg = small_config()
+    cfg = cfg.replace(
+        capacity=CapacityParams(max_nodes=128, max_edges=1024, max_priors=8)
+    )
+    eng = DpgSlamEngine(cfg)
+    run_sequence(eng, office_seq)
+    eng.increment_pass()
+    run_sequence(eng, office_seq, stride=2)
+
+    state = eng.state
+    dev_valid = np.asarray(eng_mod._reoptimize_pairs(cfg, state)[2])
+    node_mask = np.arange(cfg.capacity.max_nodes) < int(state.num_nodes)
+    host_valid = eng_mod._reoptimize_valid_host(
+        cfg,
+        np.asarray(state.poses),
+        np.asarray(state.pass_ids),
+        node_mask,
+    )
+    np.testing.assert_array_equal(host_valid, dev_valid)
+    assert dev_valid.sum() > 0
+
+
+def test_reoptimize_compaction_equivalence(office_seq):
+    """The compacted reoptimize (live pairs only) must produce the same
+    poses and graph as full-coverage compaction (every flat slot swept)."""
+    import jax.numpy as jnp
+
+    from dpg_slam_tpu import engine as eng_mod
+
+    cfg = small_config()
+    cfg = cfg.replace(
+        capacity=CapacityParams(max_nodes=128, max_edges=1024, max_priors=8)
+    )
+    eng = DpgSlamEngine(cfg)
+    run_sequence(eng, office_seq)
+    eng.increment_pass()  # runs the compacted path once already
+    run_sequence(eng, office_seq, stride=2)
+
+    nb = eng._solve_bucket(int(eng.state.num_nodes))
+    node_fields = (
+        "poses", "odom_poses", "pass_ids", "node_active",
+        "ranges", "labels", "sector_active", "cloud",
+        "cloud_mask", "cloud_normals",
+    )
+    sub = eng.state._replace(
+        **{f: getattr(eng.state, f)[:nb] for f in node_fields}
+    )
+    n_flat = nb * (1 + cfg.pose_graph.max_loop_closures_per_node)
+    full_idx = jnp.arange(n_flat, dtype=jnp.int32)
+    full_val = jnp.ones((n_flat,), bool)
+    ref_state, _ = eng_mod._reoptimize(cfg, sub, full_idx, full_val, "dense")
+
+    cidx, cval, _ = eng._reoptimize_compaction(sub, nb)
+    assert int(cval.sum()) < n_flat // 2, "compaction should drop dead slots"
+    cmp_state, _ = eng_mod._reoptimize(cfg, sub, cidx, cval, "dense")
+
+    np.testing.assert_allclose(
+        np.asarray(cmp_state.poses), np.asarray(ref_state.poses), atol=1e-4
+    )
+    assert int(cmp_state.graph.num_edges) == int(ref_state.graph.num_edges)
+
+
 def test_reoptimize_edge_overflow_fails_loudly(office_seq):
     """Reoptimize can enumerate more factor candidates than edge capacity
     (N*(1+K)+N worst case); the count must be clamped on device (no
@@ -266,7 +334,12 @@ def test_reoptimize_edge_overflow_fails_loudly(office_seq):
     small_cfg = cfg.replace(capacity=tiny)
     state = eng.state._replace(graph=fg.empty_graph(8, E_small))
 
-    new_state, n_cand = _reoptimize(small_cfg, state, "dense")
+    n_flat = cfg.capacity.max_nodes * (
+        1 + cfg.pose_graph.max_loop_closures_per_node
+    )
+    full_idx = jnp.arange(n_flat, dtype=jnp.int32)
+    full_val = jnp.ones((n_flat,), bool)
+    new_state, n_cand = _reoptimize(small_cfg, state, full_idx, full_val, "dense")
     assert int(n_cand) > E_small, "test setup failed to overflow"
     # Clamped: the live count never exceeds capacity (junk slots stay dead).
     assert int(new_state.graph.num_edges) == E_small

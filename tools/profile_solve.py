@@ -22,15 +22,36 @@ from dpg_slam_tpu.ops import icp
 from dpg_slam_tpu.utils.checkpoint import load_checkpoint
 
 
-def timed(fn, *args, repeats=5):
+_canary = None
+
+
+def canary():
+    global _canary
+    if _canary is None:
+        f = jax.jit(lambda x: x * 2.0)
+        x = jnp.ones((8,))
+        jax.block_until_ready(f(x))
+        _canary = (f, x)
+    f, x = _canary
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def timed(fn, *args, repeats=12):
     out = fn(*args)
     jax.block_until_ready(out)
     best = float("inf")
     for _ in range(repeats):
+        c0 = canary()
         t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+        best = min(best, time.perf_counter() - t0 - c0)
+        time.sleep(0.05)
     return best
 
 
