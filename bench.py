@@ -181,21 +181,27 @@ def bench_cpu_baseline(cfg, eng, seq, t_start, n_steps=10):
     return n_steps / dt
 
 
-def build_two_pass_session(cfg):
-    """Two full passes of the office loop (pass boundary WITHOUT running
-    reoptimize during setup — that is the thing being measured)."""
+def build_two_pass_session(cfg, laps=3):
+    """Two full passes of the office loop, LAPS traversals each (pass
+    boundary WITHOUT running reoptimize during setup — that is the thing
+    being measured). Multiple laps per pass give the reoptimize job the
+    reference's real session scale (GDC bags are several-hundred-meter
+    drives, dpg_data_runner_main.cc:95-114): ~123 keyframes/pass, every
+    node with a full top-K closure candidate set."""
     import jax.numpy as jnp
+    import numpy as np_
 
     from dpg_slam_tpu.engine import DpgSlamEngine
     from dpg_slam_tpu.io import dataset
 
     world = dataset.make_office_world()
     wps = dataset.office_loop_waypoints()
+    wps = np_.vstack([wps] + [wps[1:]] * (laps - 1))  # closed loop, tiled
     eng = DpgSlamEngine(cfg)
     eng._dpg_enabled = False
     for p in range(2):
         seq = dataset.simulate_sequence(
-            world, wps, cfg.scan, step=0.25, seed=1 + p,
+            world, wps, cfg.scan, step=0.5, seed=1 + p,
             odom_noise_transl=0.02, odom_noise_rot=0.008,
         )
         eng.process_sequence(seq.odometry, seq.scans, run_dpg=False)
@@ -208,10 +214,12 @@ def build_two_pass_session(cfg):
     return eng
 
 
-def bench_reoptimize(cfg, eng, repeats=3):
+def bench_reoptimize(cfg, eng, repeats=10):
     """Steady-state seconds for the batched reoptimize, through the same
-    path the engine runs at a pass boundary (live-node bucket, Pallas ICP
-    on TPU)."""
+    path the engine runs at a pass boundary (live-node bucket, compacted
+    Pallas ICP sweep on TPU). Best-of-10 with small sleeps: the TPU relay
+    has contention episodes adding ~25 ms per round trip; min over spread
+    -out repeats measures the device, not the episode."""
     import jax
 
     state = eng.state
@@ -223,6 +231,7 @@ def bench_reoptimize(cfg, eng, repeats=3):
         out = eng._reoptimize_now(state)
         jax.block_until_ready(out.poses)
         best = min(best, time.perf_counter() - t0)
+        time.sleep(0.05)
     return best
 
 
@@ -283,7 +292,9 @@ def _bench_config():
             icp_maximum_iterations=30,
             max_loop_closures_per_node=8,
         ),
-        capacity=CapacityParams(max_nodes=256, max_edges=2048, max_priors=8),
+        # 2 passes x 3 laps ~ 246 keyframes; reoptimize candidates
+        # ~ N*(1+K) + N = 2460 worst case -> 4096 edge capacity.
+        capacity=CapacityParams(max_nodes=256, max_edges=4096, max_priors=8),
     )
 
 

@@ -242,14 +242,24 @@ def distributed_solve(
     return sharded(poses, edge_idx, edge_meas, edge_sqrt_info, edge_mask)
 
 
-def distributed_reoptimize(mesh: Mesh, cfg, state):
+def distributed_reoptimize(mesh: Mesh, cfg, state, solver: str = "auto"):
     """Multi-chip pass-boundary reoptimize (the most expensive operation in
     the system — the reference's serial O(N^2) loop, dpg_slam.cc:35-120):
 
       1. all successive + loop-closure ICP pairs, pair-axis sharded over
          the mesh (pure data parallelism, no communication per pair);
       2. factor rebuild on replicated arrays;
-      3. distributed GN/CG solve with edges sharded over the mesh.
+      3. distributed solve with work sharded over the mesh. ``solver``:
+         * "schur" — submap Schur elimination (parallel/schur.py) over a
+           SPATIAL node partition (parallel/partition.py), ONE psum of the
+           reduced separator system per GN iteration; the interior
+           elimination runs as the fused Pallas kernel
+           (ops/schur_pallas.py; interpreter on non-TPU backends).
+         * "cg" — edge-sharded distributed PCG (one psum per CG matvec;
+           communication-heavier but separator-free).
+         * "auto" — Schur when every shard gets >= 4 interior node slots
+           (N % mesh == 0 and N/mesh >= 4), else CG. If the separator set
+           overflows its cap, falls back to CG and warns.
 
     Returns an updated SlamState (poses + rebuilt graph).
     """
@@ -294,18 +304,62 @@ def distributed_reoptimize(mesh: Mesh, cfg, state):
             f"edge capacity is {E}; raise CapacityParams.max_edges"
         )
 
-    poses = distributed_solve(
-        mesh,
-        state.poses,
-        state.node_mask,
-        graph.prior_idx,
-        graph.prior_val,
-        graph.prior_sqrt_info,
-        graph.prior_mask,
-        graph.edge_idx,
-        graph.edge_meas,
-        graph.edge_sqrt_info,
-        graph.edge_mask,
-        max_iterations=pg.gn_max_iterations,
+    use_schur = solver == "schur" or (
+        solver == "auto" and N % n == 0 and N // n >= 4
     )
+    if use_schur:
+        import logging
+
+        import numpy as np
+
+        from dpg_slam_tpu.parallel.partition import spatial_blocks
+        from dpg_slam_tpu.parallel.schur import schur_solve
+
+        assign = spatial_blocks(
+            np.asarray(state.poses[:, :2]), np.asarray(state.node_mask), n
+        )
+        # Separator capacity: boundary crossings scale with shards x
+        # traversals, not N — but small graphs have proportionally more
+        # boundary, so small N gets the full-capacity (degenerate but
+        # correct) reduced system and large N gets half.
+        sep_cap = N if N <= 128 else max(128, -(-N // 2 // 8) * 8)
+        poses, sep_count = schur_solve(
+            mesh,
+            state.poses,
+            state.node_mask,
+            graph.prior_idx,
+            graph.prior_val,
+            graph.prior_sqrt_info,
+            graph.prior_mask,
+            graph.edge_idx,
+            graph.edge_meas,
+            graph.edge_sqrt_info,
+            graph.edge_mask,
+            jnp.asarray(assign),
+            sep_cap=sep_cap,
+            max_iterations=pg.gn_max_iterations,
+            pallas_elimination=True,
+            pallas_interpret=jax.default_backend() not in ("tpu", "axon"),
+        )
+        if int(sep_count) > sep_cap:
+            logging.getLogger("dpg_slam_tpu.parallel").warning(
+                "schur separator overflow (%d > cap %d); falling back to "
+                "edge-sharded CG", int(sep_count), sep_cap,
+            )
+            use_schur = False
+    if not use_schur:
+        poses = distributed_solve(
+            mesh,
+            state.poses,
+            state.node_mask,
+            graph.prior_idx,
+            graph.prior_val,
+            graph.prior_sqrt_info,
+            graph.prior_mask,
+            graph.edge_idx,
+            graph.edge_meas,
+            graph.edge_sqrt_info,
+            graph.edge_mask,
+            max_iterations=pg.gn_max_iterations,
+        )
     return state._replace(poses=poses, graph=graph)

@@ -42,7 +42,11 @@ __all__ = ["schur_solve"]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "sep_cap", "max_iterations", "damping")
+    jax.jit,
+    static_argnames=(
+        "mesh", "sep_cap", "max_iterations", "damping",
+        "pallas_elimination", "pallas_interpret",
+    ),
 )
 def schur_solve(
     mesh: Mesh,
@@ -56,12 +60,28 @@ def schur_solve(
     edge_meas: jnp.ndarray,       # (E, 3)
     edge_sqrt_info: jnp.ndarray,  # (E, 3, 3)
     edge_mask: jnp.ndarray,       # (E,)
+    block_assign: jnp.ndarray | None = None,  # (N,) int32 node -> shard
     *,
     sep_cap: int = 64,
     max_iterations: int = 10,
     damping: float = 1e-4,
+    pallas_elimination: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Gauss-Newton with per-iteration distributed Schur elimination.
+
+    Args (beyond the factor arrays):
+      block_assign: optional (N,) node->shard assignment. Default is the
+        contiguous trajectory split (node i -> shard i // (N/S)); a SPATIAL
+        assignment (co-located nodes from different passes/laps on one
+        shard, see parallel.partition.spatial_blocks) keeps loop closures
+        intra-shard, which is what bounds the separator set on multi-pass
+        sessions. Each shard must be assigned at most N/S nodes (overflow
+        slots are dropped from that GN iteration's update).
+      pallas_elimination: run the per-shard interior elimination (Cholesky
+        + triangular solves) as the fused Pallas kernel
+        (ops/schur_pallas.py) instead of jax.scipy cho_factor/cho_solve.
+      pallas_interpret: interpreter mode for the kernel (CPU tests).
 
     Returns (poses, separator_count). N must be divisible by the mesh size.
     """
@@ -71,7 +91,19 @@ def schur_solve(
     C = N // S
 
     idx = jnp.arange(N)
-    block = idx // C                                   # (N,) owning shard
+    if block_assign is None:
+        block = idx // C                               # (N,) owning shard
+        int_rank = idx - block * C                     # slot within shard
+        slot_map = idx.reshape(S, C)                   # shard, slot -> node
+    else:
+        block = block_assign.astype(jnp.int32)
+        same = block[None, :] == block[:, None]        # (N, N)
+        lower = jnp.tril(jnp.ones((N, N), bool), k=-1)
+        int_rank = jnp.sum(same & lower, axis=1).astype(jnp.int32)
+        slot_map = jnp.full((S, C + 1), N, jnp.int32)
+        slot_map = slot_map.at[block, jnp.minimum(int_rank, C)].set(
+            idx.astype(jnp.int32), mode="drop"
+        )[:, :C]                                       # shard, slot -> node (N = empty)
 
     # --- separator classification (replicated): endpoints of cross-block
     # edges. Block-internal chains stay interior.
@@ -100,8 +132,42 @@ def schur_solve(
     three_c = 3 * (C + 1)     # +1 padding row for dropped scatters
     three_s = 3 * (sep_cap + 1)
 
-    def shard_fn(poses_rep, shard_ids):
+    # Everything replicated that the per-shard body needs is passed as an
+    # EXPLICIT shard_map argument (spec P()) — closure-capturing arrays
+    # whose inputs carry concrete mesh shardings breaks the Manual mesh
+    # context (e.g. when the caller device_put the factor arrays).
+    ctx_in = dict(
+        prior_idx=prior_idx, prior_val=prior_val,
+        prior_sqrt_info=prior_sqrt_info, prior_mask=prior_mask,
+        edge_idx=edge_idx, edge_meas=edge_meas,
+        edge_sqrt_info=edge_sqrt_info, edge_mask=edge_mask,
+        edge_owner=edge_owner, prior_owner=prior_owner,
+        block=block, int_rank=int_rank, is_sep=is_sep,
+        sep_slot=sep_slot, sep_ok=sep_ok, node_mask=node_mask,
+        slot_map=slot_map,
+    )
+
+    def shard_fn(poses_rep, shard_ids, ctx):
         s = shard_ids[0]
+        prior_idx = ctx["prior_idx"]
+        prior_val = ctx["prior_val"]
+        prior_sqrt_info = ctx["prior_sqrt_info"]
+        prior_mask = ctx["prior_mask"]
+        edge_idx = ctx["edge_idx"]
+        edge_meas = ctx["edge_meas"]
+        edge_sqrt_info = ctx["edge_sqrt_info"]
+        edge_mask = ctx["edge_mask"]
+        edge_owner = ctx["edge_owner"]
+        prior_owner = ctx["prior_owner"]
+        block = ctx["block"]
+        int_rank = ctx["int_rank"]
+        is_sep = ctx["is_sep"]
+        sep_slot = ctx["sep_slot"]
+        sep_ok = ctx["sep_ok"]
+        node_mask = ctx["node_mask"]
+        slot_map = ctx["slot_map"]
+        ei = edge_idx[:, 0]
+        ej = edge_idx[:, 1]
 
         def gn_step(poses, _):
             # --- residuals/Jacobians for ALL factors (cheap, replicated).
@@ -130,8 +196,13 @@ def schur_solve(
 
             # --- local slot maps: interior slot (0..C-1) within this shard.
             def int_slot(n):
-                ok = (block[n] == s) & ~is_sep[n] & node_mask[n]
-                return jnp.where(ok, n - s * C, C)
+                ok = (
+                    (block[n] == s)
+                    & ~is_sep[n]
+                    & node_mask[n]
+                    & (int_rank[n] < C)
+                )
+                return jnp.where(ok, int_rank[n], C)
 
             li, lj = int_slot(ei), int_slot(ej)
             si_, sj_ = sep_slot[ei], sep_slot[ej]
@@ -200,9 +271,10 @@ def schur_solve(
             gs = b_s[:sep_cap].reshape(3 * sep_cap)
 
             # Inactive interior slots -> identity rows (zero update).
-            my_nodes = s * C + jnp.arange(C)
+            my_nodes = jnp.minimum(slot_map[s], N - 1)        # (C,)
+            my_valid = slot_map[s] < N
             int_valid = jnp.repeat(
-                node_mask[my_nodes] & ~is_sep[my_nodes], 3
+                my_valid & node_mask[my_nodes] & ~is_sep[my_nodes], 3
             )
             Hii = jnp.where(
                 int_valid[:, None] & int_valid[None, :], Hii, 0.0
@@ -211,10 +283,18 @@ def schur_solve(
             His = jnp.where(int_valid[:, None], His, 0.0)
             gi = jnp.where(int_valid, gi, 0.0)
 
-            # --- local elimination.
-            L, low = jax.scipy.linalg.cho_factor(Hii)
-            W = jax.scipy.linalg.cho_solve((L, low), His)     # Hii^-1 His
-            u = jax.scipy.linalg.cho_solve((L, low), gi)      # Hii^-1 gi
+            # --- local elimination (the Schur kernel when requested).
+            if pallas_elimination:
+                from dpg_slam_tpu.ops.schur_pallas import spd_solve_pallas
+
+                rhs = jnp.concatenate([His, gi[:, None]], axis=1)
+                sol = spd_solve_pallas(Hii, rhs, interpret=pallas_interpret)
+                W = sol[:, :-1]                               # Hii^-1 His
+                u = sol[:, -1]                                # Hii^-1 gi
+            else:
+                L, low = jax.scipy.linalg.cho_factor(Hii)
+                W = jax.scipy.linalg.cho_solve((L, low), His)
+                u = jax.scipy.linalg.cho_solve((L, low), gi)
             S_contrib = Hss - His.T @ W
             g_contrib = gs - His.T @ u
 
@@ -242,12 +322,13 @@ def schur_solve(
             # delta (post-psum), so scale by 1/S and let the psum sum it
             # back to exactly one copy.
             local = jnp.zeros((N, 3), poses.dtype)
-            local = local.at[my_nodes].set(
+            local = local.at[jnp.where(my_valid, my_nodes, N)].set(
                 jnp.where(
-                    (node_mask[my_nodes] & ~is_sep[my_nodes])[:, None],
+                    (my_valid & node_mask[my_nodes] & ~is_sep[my_nodes])[:, None],
                     d_int.reshape(C, 3),
                     0.0,
-                )
+                ),
+                mode="drop",
             )
             sep_delta = d_sep.reshape(sep_cap, 3)
             sep_part = (
@@ -271,7 +352,7 @@ def schur_solve(
     sharded = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(PAIR_AXIS)),
+        in_specs=(P(), P(PAIR_AXIS), P()),
         out_specs=P(),
     )
-    return sharded(poses, shard_ids), sep_count
+    return sharded(poses, shard_ids, ctx_in), sep_count

@@ -74,6 +74,117 @@ def test_schur_no_cross_edges():
     np.testing.assert_allclose(np.asarray(schur[:N]), np.asarray(dense[:N]), atol=3e-3)
 
 
+def test_spd_solve_pallas_matches_scipy():
+    """The fused Pallas interior-elimination kernel (Cholesky + both
+    triangular solves) must reproduce cho_factor/cho_solve."""
+    import jax.scipy.linalg as jsl
+
+    from dpg_slam_tpu.ops.schur_pallas import spd_solve_pallas
+
+    rng = np.random.default_rng(3)
+    n, m = 48, 17
+    A = rng.normal(size=(n, n))
+    H = (A @ A.T + n * np.eye(n)).astype(np.float32)
+    # Identity padding rows, like schur_solve produces for dead slots.
+    H[-6:, :] = 0.0
+    H[:, -6:] = 0.0
+    H[np.arange(n - 6, n), np.arange(n - 6, n)] = 1.0
+    B = rng.normal(size=(n, m)).astype(np.float32)
+
+    L, low = jsl.cho_factor(jnp.asarray(H))
+    want = jsl.cho_solve((L, low), jnp.asarray(B))
+    # Pure-jax evaluation of the kernel body (the shard_map/CPU path)...
+    got = spd_solve_pallas(jnp.asarray(H), jnp.asarray(B), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+    # ...and the pallas_call plumbing itself (interpreter mode).
+    got_pl = spd_solve_pallas(
+        jnp.asarray(H), jnp.asarray(B), pallas_interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_pl), np.asarray(want), atol=2e-4)
+
+
+def test_schur_pallas_elimination_matches_xla():
+    """schur_solve with the Pallas elimination kernel == the XLA path."""
+    N, cap = 32, 32
+    g, init, mask, gt = chain_graph_with_closures(N, cap, n_closures=6)
+    mesh = make_mesh(8)
+    args = (
+        mesh, init, mask,
+        g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
+        g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
+    )
+    xla, _ = schur_solve(*args, sep_cap=32, max_iterations=15)
+    pal, _ = schur_solve(
+        *args, sep_cap=32, max_iterations=15,
+        pallas_elimination=True, pallas_interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(pal[:N]), np.asarray(xla[:N]), atol=1e-4)
+
+
+def test_schur_spatial_assignment():
+    """A multi-lap trajectory under a SPATIAL partition: co-located nodes
+    from different laps share a shard, separators stay bounded, and the
+    solution matches the dense solver."""
+    from dpg_slam_tpu.parallel.partition import spatial_blocks
+
+    rng = np.random.default_rng(5)
+    laps, per_lap = 4, 32
+    N = laps * per_lap
+    cap = N
+    # A square loop traversed `laps` times.
+    t = np.linspace(0, 2 * np.pi, per_lap, endpoint=False)
+    lap_xy = np.stack([4 * np.cos(t), 4 * np.sin(t)], axis=1)
+    gt = np.zeros((N, 3))
+    for l in range(laps):
+        gt[l * per_lap : (l + 1) * per_lap, :2] = lap_xy
+    gt[:, 2] = np.tile(t + np.pi / 2, laps)
+
+    g = fg.empty_graph(max_priors=4, max_edges=512)
+    g = fg.add_prior(
+        g, jnp.int32(0), jnp.array(gt[0], jnp.float32),
+        fg.sqrt_info_from_sigmas(jnp.array([0.05, 0.05, 0.02])),
+    )
+    model = fg.sqrt_info_from_sigmas(jnp.array([0.1, 0.1, 0.05]))
+    for i in range(N - 1):
+        meas = geom.between(jnp.array(gt[i]), jnp.array(gt[i + 1]))
+        g = fg.add_between(g, jnp.int32(i), jnp.int32(i + 1), meas, model)
+    # Closures: every node to its same-position node one lap earlier.
+    for i in range(per_lap, N):
+        j = i - per_lap
+        meas = geom.between(jnp.array(gt[j]), jnp.array(gt[i]))
+        g = fg.add_between(g, jnp.int32(j), jnp.int32(i), meas, model)
+
+    init = jnp.asarray(gt + rng.normal(0, 0.05, (N, 3)), jnp.float32)
+    mask = jnp.ones((cap,), bool)
+    dense, _ = fg.solve(init, g, mask, max_iterations=25, method="dense")
+
+    mesh = make_mesh(8)
+    assign = spatial_blocks(gt[:, :2], np.ones(N, bool), 8)
+    # Spatial grouping puts all 4 laps' visits to a spot in one shard.
+    for l in range(1, laps):
+        same_spot = assign[:per_lap] == assign[l * per_lap : (l + 1) * per_lap]
+        assert same_spot.mean() > 0.7, same_spot.mean()
+    schur, sep_count = schur_solve(
+        mesh, init, mask,
+        g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
+        g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
+        jnp.asarray(assign),
+        sep_cap=96, max_iterations=25,
+    )
+    # Contiguous split for comparison: every closure crosses shards.
+    _, sep_contig = schur_solve(
+        mesh, init, mask,
+        g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
+        g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
+        sep_cap=N, max_iterations=1,
+    )
+    assert 0 < int(sep_count) <= 96, int(sep_count)
+    assert int(sep_count) < int(sep_contig), (int(sep_count), int(sep_contig))
+    np.testing.assert_allclose(
+        np.asarray(schur[:N]), np.asarray(dense[:N]), atol=5e-3
+    )
+
+
 def test_schur_recovers_ground_truth():
     N, cap = 64, 64
     g, init, mask, gt = chain_graph_with_closures(N, cap, n_closures=10, noise=0.1)

@@ -53,7 +53,7 @@ def timed(fn, *args, repeats=12):
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    eng = load_checkpoint("/tmp/bench_session")
+    eng = load_checkpoint(os.environ.get("BENCH_SESSION", "/tmp/bench_session"))
     state = eng.state
     nb = eng._solve_bucket(int(state.num_nodes))
     node_fields = (

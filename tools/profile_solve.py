@@ -56,7 +56,7 @@ def timed(fn, *args, repeats=12):
 
 
 def main():
-    eng = load_checkpoint("/tmp/bench_session")
+    eng = load_checkpoint(os.environ.get("BENCH_SESSION", "/tmp/bench_session"))
     state = eng.state
     nb = eng._solve_bucket(int(state.num_nodes))
     node_fields = (
