@@ -31,7 +31,43 @@ __all__ = [
     "inv_apply",
     "exp_map",
     "pose_matrix",
+    "inv_sym3",
 ]
+
+
+def inv_sym3(H: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (cofactor) inverse of symmetric 3x3 matrices, batched
+    over any leading axes.
+
+    Replaces jnp.linalg.inv on (..., 3, 3): the batched lax.linalg
+    primitive is a latency-bound sequential loop on TPU, while this is a
+    handful of elementwise VPU ops. Intended for SPD normal/covariance
+    blocks (SE(2) dimensions).
+    """
+    a00 = H[..., 0, 0]
+    a01 = H[..., 0, 1]
+    a02 = H[..., 0, 2]
+    a11 = H[..., 1, 1]
+    a12 = H[..., 1, 2]
+    a22 = H[..., 2, 2]
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    safe = jnp.abs(det) > 1e-30
+    inv_det = jnp.where(safe, 1.0 / jnp.where(safe, det, 1.0), 0.0)[..., None, None]
+    cof = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c01, c11, c12], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return cof * inv_det
 
 
 def wrap_angle(angle: jnp.ndarray) -> jnp.ndarray:

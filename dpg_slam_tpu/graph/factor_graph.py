@@ -108,11 +108,42 @@ def sqrt_info_from_sigmas(sigmas: jnp.ndarray) -> jnp.ndarray:
 
 def sqrt_info_from_covariance(cov: jnp.ndarray) -> jnp.ndarray:
     """Whitening matrix R with R^T R = cov^-1 (noiseModel::Gaussian::
-    Covariance analog, dpg_slam.cc:335). Uses inverse-of-Cholesky."""
-    L = jnp.linalg.cholesky(cov)
-    eye = jnp.eye(3, dtype=cov.dtype)
-    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    return Linv  # (Linv)^T Linv? note: cov^-1 = L^-T L^-1; R = L^-1 works: R^T R = L^-T L^-1.
+    Covariance analog, dpg_slam.cc:335): the inverse Cholesky factor,
+    R = L^-1 (then R^T R = L^-T L^-1 = cov^-1).
+
+    Closed form for the 3x3 SE(2) case instead of lax.linalg cholesky +
+    triangular solve: batched tiny-matrix linalg primitives are
+    latency-bound sequential loops on TPU (~10 ms for a few thousand
+    3x3s), while this is a handful of elementwise VPU ops. Batched over
+    any leading axes.
+    """
+    a11 = jnp.maximum(cov[..., 0, 0], 1e-18)
+    a21 = cov[..., 1, 0]
+    a31 = cov[..., 2, 0]
+    a22 = cov[..., 1, 1]
+    a32 = cov[..., 2, 1]
+    a33 = cov[..., 2, 2]
+    l11 = jnp.sqrt(a11)
+    l21 = a21 / l11
+    l31 = a31 / l11
+    l22 = jnp.sqrt(jnp.maximum(a22 - l21 * l21, 1e-18))
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(a33 - l31 * l31 - l32 * l32, 1e-18))
+    m11 = 1.0 / l11
+    m22 = 1.0 / l22
+    m33 = 1.0 / l33
+    m21 = -l21 * m11 * m22
+    m31 = (l21 * l32 - l22 * l31) * m11 * m22 * m33
+    m32 = -l32 * m22 * m33
+    zero = jnp.zeros_like(m11)
+    return jnp.stack(
+        [
+            jnp.stack([m11, zero, zero], axis=-1),
+            jnp.stack([m21, m22, zero], axis=-1),
+            jnp.stack([m31, m32, m33], axis=-1),
+        ],
+        axis=-2,
+    )
 
 
 def add_prior(
@@ -382,7 +413,7 @@ def _dense_cg_solve(
     incremental solves; cold/reoptimize solves keep the factorization.
     """
     Hf = _dense_H(eq, g, damping)
-    Minv = jnp.linalg.inv(
+    Minv = geom.inv_sym3(
         eq.diag + damping * jnp.eye(3, dtype=eq.diag.dtype)
     )  # (N, 3, 3) block-Jacobi
 
@@ -434,7 +465,7 @@ def _cg_solve(
     eye = jnp.eye(3, dtype=eq.diag.dtype)
     diag_d = eq.diag + damping * eye[None]
     eqd = _NormalEq(diag_d, eq.off, eq.rhs)
-    Minv = jnp.linalg.inv(diag_d)  # block-Jacobi preconditioner
+    Minv = geom.inv_sym3(diag_d)  # block-Jacobi preconditioner
 
     def mv(v):
         return _matvec(eqd, g, v)

@@ -225,9 +225,10 @@ def _icp_iteration(
     lam = damping * jnp.maximum(tr, 1e-12)
     Hd = H + lam[:, None, None] * eye[None]
     solvable = num_corr >= 3
-    delta = jnp.linalg.solve(
-        jnp.where(solvable[:, None, None], Hd, eye[None]), g[..., None]
-    )[..., 0]
+    # Closed-form symmetric 3x3 solve: batched lax.linalg solve is a
+    # latency-bound loop on TPU; the cofactor inverse is pure VPU.
+    Hinv = geom.inv_sym3(jnp.where(solvable[:, None, None], Hd, eye[None]))
+    delta = jnp.einsum("bij,bj->bi", Hinv, g)
     delta = jnp.where(solvable[:, None], delta, 0.0)
 
     step = jnp.where(state.active[:, None], -delta, 0.0)
@@ -365,7 +366,7 @@ def _icp_align_impl(
         # model cannot see (sampling aliasing, normal estimation error).
         eye = jnp.eye(3, dtype=state.hessian.dtype)
         safe_H = jnp.where(converged[:, None, None], state.hessian, eye[None])
-        cov = 2.0 * (sensor_noise_std**2) * jnp.linalg.inv(safe_H)
+        cov = 2.0 * (sensor_noise_std**2) * geom.inv_sym3(safe_H)
         floor = jnp.diag(
             jnp.array(
                 [cov_floor_transl**2, cov_floor_transl**2, cov_floor_rot**2],

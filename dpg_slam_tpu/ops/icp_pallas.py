@@ -367,9 +367,11 @@ def icp_align_pallas(
     if params.use_fixed_icp_covariance:
         cov = jnp.broadcast_to(fallback, H.shape)
     else:
+        from dpg_slam_tpu import geom as geom_mod
+
         eye = jnp.eye(3, dtype=H.dtype)
         safe_H = jnp.where(converged[:, None, None], H, eye[None])
-        cov = 2.0 * (sensor_noise_std**2) * jnp.linalg.inv(safe_H)
+        cov = 2.0 * (sensor_noise_std**2) * geom_mod.inv_sym3(safe_H)
         floor = jnp.diag(
             jnp.array(
                 [

@@ -183,7 +183,7 @@ def distributed_solve(
             diag = jnp.where(node_mask[:, None, None], diag, eye[None])
             rhs = jnp.where(node_mask[:, None], rhs, 0.0)
             diag = diag + damping * eye[None]
-            Minv = jnp.linalg.inv(diag)
+            Minv = geom.inv_sym3(diag)
 
             def matvec(v):
                 out = jnp.einsum("nab,nb->na", diag, v)
