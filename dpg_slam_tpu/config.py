@@ -142,6 +142,14 @@ class PoseGraphParams:
     # the constant diagonal the reference actually returns
     # (cov_func_point_to_point.h:572-575).
     icp_sensor_noise_std: float = 0.02  # per-point noise for the GN covariance
+    icp_covariance_mode: str = "gn"
+    # Live-covariance flavor when use_fixed_icp_covariance is False:
+    #   "gn"    — 2 sigma^2 H^-1 from the final ICP normal system.
+    #   "censi" — the full closed-form sandwich H^-1 (d2J/dZdX) Sigma_z
+    #             (d2J/dZdX)^T H^-1 the reference's icp_cov builds and
+    #             discards (cov_func_point_to_point.h:307-530); see
+    #             ops.icp.censi_covariance. Differs from "gn" when the
+    #             correspondence geometry is anisotropic / residuals big.
     icp_cov_floor_transl: float = 0.0
     icp_cov_floor_rot: float = 0.0
     # Optional additive covariance floor on the GN/Censi estimate —

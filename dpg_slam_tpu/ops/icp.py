@@ -42,7 +42,13 @@ import jax.numpy as jnp
 from dpg_slam_tpu import geom
 from dpg_slam_tpu.config import PoseGraphParams
 
-__all__ = ["ICPResult", "estimate_normals", "icp_align", "icp_align_single"]
+__all__ = [
+    "ICPResult",
+    "censi_covariance",
+    "estimate_normals",
+    "icp_align",
+    "icp_align_single",
+]
 
 _BIG = 1e12
 
@@ -107,6 +113,144 @@ def estimate_normals(points: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     radial = points / jnp.maximum(jnp.linalg.norm(points, axis=-1, keepdims=True), 1e-6)
     unit = jnp.where(norm > 1e-6, normal / jnp.maximum(norm, 1e-6), radial)
     return jnp.where(mask[..., None], unit, 0.0)
+
+
+def censi_covariance(
+    src: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    transform: jnp.ndarray,
+    *,
+    max_correspondence_distance: float,
+    reciprocal: bool,
+    src_noise_std: float,
+    tgt_noise_std: float,
+) -> jnp.ndarray:
+    """Full Censi closed-form ICP covariance (batched, point-to-point).
+
+    The sandwich the reference's icp_cov computes and then discards
+    (cov_func_point_to_point.h:45-283 builds d2J/dx2, :307-530 builds the
+    6x6n d2J/dZdX block per correspondence, :530-556 assembles
+    ``H^-1 (d2J/dZdX) Sigma_z (d2J/dZdX)^T H^-1``, and :560-575 throws it
+    away for a constant diagonal). Here it is the 2D/SE(2) analog,
+    evaluated at the final ICP transform on point-to-point
+    correspondences (the reference's residual form), vectorized over all
+    correspondences of all B pairs at once instead of the reference's
+    200-correspondence serial cap (:307).
+
+    For J(x, z) = sum_i ||R(theta) p_i + t - q_i||^2 with measurement
+    vector z = (p_1..p_n, q_1..q_n):
+
+      H        = d2J/dx2   (3x3, including the second-order residual
+                 terms the reference keeps: d2J/dtheta2 picks up
+                 r_i . R'' p_i)
+      B_p,i    = d2J/(dx dp_i) = 2 [R ; u_i^T R + r_i^T R']   (3x2)
+      B_q,i    = d2J/(dx dq_i) = -2 [I ; u_i^T]               (3x2)
+      cov      = H^-1 (sum_i sp^2 B_p,i B_p,i^T + sq^2 B_q,i B_q,i^T) H^-1
+
+    with u_i = R' p_i, r_i = R p_i + t - q_i. For iid noise on the
+    TARGET cloud only and zero residuals this reduces exactly to
+    ``2 sigma^2 H_gn^-1`` (the GN mode); noise on both clouds doubles it;
+    anisotropic correspondence geometry (nonzero residuals, uneven
+    point leverage) is where the extra d2J/dZdX structure differs from
+    plain GN — tested in test_icp.py.
+
+    Args:
+      src/src_mask/tgt/tgt_mask: as icp_align.
+      transform: (B, 3) final ICP pose of src in tgt frame.
+      max_correspondence_distance: fine gate (multiplier 1).
+      reciprocal: mutual-NN correspondences, matching the ICP run.
+      src_noise_std / tgt_noise_std: per-point iid noise sigmas for the
+        two clouds (Sigma_z = diag(sp^2 I_2n, sq^2 I_2n)).
+
+    Returns:
+      (B, 3, 3) covariance (zeros-safe: pairs with < 3 matches return a
+      large isotropic covariance rather than NaN).
+    """
+    moved = geom.apply(transform[:, None, :], src)  # (B, P, 2)
+    d2 = _pairwise_sqdist(moved, tgt)
+    d2 = jnp.where(src_mask[:, :, None], d2, _BIG)
+    d2 = jnp.where(tgt_mask[:, None, :], d2, _BIG)
+    rowmin = jnp.min(d2, axis=-1, keepdims=True)
+    M = d2 <= rowmin
+    if reciprocal:
+        colmin = jnp.min(d2, axis=-2, keepdims=True)
+        M = M & (d2 <= colmin)
+    M = M & (d2 <= max_correspondence_distance**2)
+    Mf = M.astype(jnp.float32)
+    row_cnt = jnp.sum(Mf, axis=-1)
+    w = src_mask & (row_cnt > 0)
+    wf = w.astype(jnp.float32)
+    Mn = Mf / jnp.maximum(row_cnt, 1.0)[..., None]
+    q = jnp.einsum("bpq,bqc->bpc", Mn, tgt, preferred_element_type=jnp.float32)
+
+    r = (moved - q) * wf[..., None]                      # residuals (B, P, 2)
+    rp = moved - transform[:, None, 0:2]                 # R p_i       (B, P, 2)
+    u = jnp.stack([-rp[..., 1], rp[..., 0]], axis=-1)    # R' p_i      (B, P, 2)
+    u = u * wf[..., None]
+
+    n_corr = jnp.sum(wf, axis=-1)                        # (B,)
+    c = jnp.cos(transform[:, 2])
+    s = jnp.sin(transform[:, 2])
+
+    # H = d2J/dx2, with the reference's second-order residual term:
+    # d2J/dtheta2 = 2 sum (u.u + r . R'' p), R'' = -R so r . R''p = -r.rp.
+    su = jnp.sum(u, axis=-2)                             # (B, 2)
+    htt = jnp.sum(jnp.sum(u * u, axis=-1) - jnp.sum(r * rp, axis=-1), axis=-1)
+    zero = jnp.zeros_like(n_corr)
+    H = 2.0 * jnp.stack(
+        [
+            jnp.stack([n_corr, zero, su[:, 0]], axis=-1),
+            jnp.stack([zero, n_corr, su[:, 1]], axis=-1),
+            jnp.stack([su[:, 0], su[:, 1], htt], axis=-1),
+        ],
+        axis=-2,
+    )
+
+    # Sandwich middle S = sum_i sp^2 Bp Bp^T + sq^2 Bq Bq^T, accumulated
+    # as weighted sums over P (every term is a (B,P) elementwise product).
+    sp2 = src_noise_std**2
+    sq2 = tgt_noise_std**2
+    # Bq,i = -2 [I; u^T]:  Bq Bq^T = 4 [[1,0,ux],[0,1,uy],[ux,uy,u.u]]
+    q_tt = jnp.sum(jnp.sum(u * u, axis=-1), axis=-1)
+    Sq = 4.0 * jnp.stack(
+        [
+            jnp.stack([n_corr, zero, su[:, 0]], axis=-1),
+            jnp.stack([zero, n_corr, su[:, 1]], axis=-1),
+            jnp.stack([su[:, 0], su[:, 1], q_tt], axis=-1),
+        ],
+        axis=-2,
+    )
+    # Bp,i = 2 [R; v^T] with v = R^T u + R'^T r (2-vector per point):
+    # Bp Bp^T = 4 [[I, R v],[ (Rv)^T, v.v ]].
+    # R^T u components and R'^T r components, written out (R=[[c,-s],[s,c]],
+    # R'=[[-s,-c],[c,-s]]):
+    cb = c[:, None]
+    sb = s[:, None]
+    v1 = cb * u[..., 0] + sb * u[..., 1] - sb * r[..., 0] + cb * r[..., 1]
+    v2 = -sb * u[..., 0] + cb * u[..., 1] - cb * r[..., 0] - sb * r[..., 1]
+    rv1 = cb * v1 - sb * v2   # (R v)_x per point
+    rv2 = sb * v1 + cb * v2   # (R v)_y
+    p_tt = jnp.sum(v1 * v1 + v2 * v2, axis=-1)
+    srv1 = jnp.sum(rv1, axis=-1)
+    srv2 = jnp.sum(rv2, axis=-1)
+    Sp = 4.0 * jnp.stack(
+        [
+            jnp.stack([n_corr, zero, srv1], axis=-1),
+            jnp.stack([zero, n_corr, srv2], axis=-1),
+            jnp.stack([srv1, srv2, p_tt], axis=-1),
+        ],
+        axis=-2,
+    )
+    S = sp2 * Sp + sq2 * Sq
+
+    ok = n_corr >= 3.0
+    eye = jnp.eye(3, dtype=H.dtype)
+    Hinv = geom.inv_sym3(jnp.where(ok[:, None, None], H, eye[None]))
+    cov = jnp.einsum("bij,bjk,bkl->bil", Hinv, S, Hinv)
+    big = 1e6 * eye
+    return jnp.where(ok[:, None, None], cov, big[None])
 
 
 def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -248,6 +392,7 @@ def _icp_iteration(
         "point_to_line",
         "epsilon",
         "fixed_covariance",
+        "covariance_mode",
         "sigmas",
         "sensor_noise_std",
         "cov_floor_transl",
@@ -272,6 +417,7 @@ def _icp_align_impl(
     point_to_line: bool,
     epsilon: float,
     fixed_covariance: bool,
+    covariance_mode: str,
     sigmas: tuple[float, float, float],
     sensor_noise_std: float,
     cov_floor_transl: float,
@@ -360,13 +506,29 @@ def _icp_align_impl(
         # diagonal (cov_func_point_to_point.h:572-575).
         cov = jnp.broadcast_to(jnp.diag(jnp.array(sigmas, dtype=jnp.float32)), (B, 3, 3))
     else:
-        # Gauss-Newton covariance from the final normal system:
-        # cov = 2 sigma_z^2 H^-1 — the usable core of the Censi closed
-        # form — plus a floor for correspondence bias the per-point noise
-        # model cannot see (sampling aliasing, normal estimation error).
-        eye = jnp.eye(3, dtype=state.hessian.dtype)
-        safe_H = jnp.where(converged[:, None, None], state.hessian, eye[None])
-        cov = 2.0 * (sensor_noise_std**2) * geom.inv_sym3(safe_H)
+        if covariance_mode == "censi":
+            # Full closed-form sandwich at the final transform (both
+            # clouds noisy; see censi_covariance).
+            cov = censi_covariance(
+                src,
+                src_mask,
+                tgt,
+                tgt_mask,
+                state.transform,
+                max_correspondence_distance=max_correspondence_distance,
+                reciprocal=reciprocal,
+                src_noise_std=sensor_noise_std,
+                tgt_noise_std=sensor_noise_std,
+            )
+        else:
+            # Gauss-Newton covariance from the final normal system:
+            # cov = 2 sigma_z^2 H^-1 — the usable core of the Censi closed
+            # form. Either mode adds a floor for correspondence bias the
+            # per-point noise model cannot see (sampling aliasing, normal
+            # estimation error).
+            eye3 = jnp.eye(3, dtype=state.hessian.dtype)
+            safe_H = jnp.where(converged[:, None, None], state.hessian, eye3[None])
+            cov = 2.0 * (sensor_noise_std**2) * geom.inv_sym3(safe_H)
         floor = jnp.diag(
             jnp.array(
                 [cov_floor_transl**2, cov_floor_transl**2, cov_floor_rot**2],
@@ -462,6 +624,7 @@ def icp_align(
         point_to_line=params.icp_point_to_line,
         epsilon=params.icp_maximum_transformation_epsilon,
         fixed_covariance=params.use_fixed_icp_covariance,
+        covariance_mode=getattr(params, "icp_covariance_mode", "gn"),
         sigmas=(
             params.laser_x_variance,
             params.laser_y_variance,

@@ -366,6 +366,28 @@ def icp_align_pallas(
     )
     if params.use_fixed_icp_covariance:
         cov = jnp.broadcast_to(fallback, H.shape)
+    elif getattr(params, "icp_covariance_mode", "gn") == "censi":
+        # Full closed-form sandwich (XLA post-pass shared with the
+        # non-pallas path; see ops.icp.censi_covariance).
+        cov = icp_mod.censi_covariance(
+            src, src_mask, tgt, tgt_mask, transform,
+            max_correspondence_distance=params.icp_max_correspondence_distance,
+            reciprocal=params.icp_use_reciprocal_correspondences,
+            src_noise_std=sensor_noise_std,
+            tgt_noise_std=sensor_noise_std,
+        )
+        floor = jnp.diag(
+            jnp.array(
+                [
+                    params.icp_cov_floor_transl**2,
+                    params.icp_cov_floor_transl**2,
+                    params.icp_cov_floor_rot**2,
+                ],
+                jnp.float32,
+            )
+        )
+        cov = cov + floor[None]
+        cov = jnp.where(converged[:, None, None], cov, fallback[None])
     else:
         from dpg_slam_tpu import geom as geom_mod
 

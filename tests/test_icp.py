@@ -164,3 +164,110 @@ def test_estimate_normals_wall():
     # Interior points: normal = (0, +-1).
     np.testing.assert_allclose(np.abs(n[5:-5, 1]), 1.0, atol=1e-5)
     np.testing.assert_allclose(n[5:-5, 0], 0.0, atol=1e-5)
+
+
+def _pp_gn_hessian(src, tgt_matched, transform):
+    """Direct point-to-point GN normal matrix H = 2 sum J^T J at the
+    given transform (for checking censi_covariance reductions)."""
+    moved = np.asarray(geom.apply(jnp.array(transform)[None], jnp.array(src)[None]))[0]
+    rp = moved - transform[:2]
+    u = np.stack([-rp[:, 1], rp[:, 0]], axis=-1)  # R' p
+    H = np.zeros((3, 3))
+    for i in range(len(src)):
+        J = np.array([[1.0, 0.0, u[i, 0]], [0.0, 1.0, u[i, 1]]])
+        H += 2.0 * J.T @ J
+    return H
+
+
+def test_censi_covariance_reduces_to_gn_for_target_noise():
+    """Target-only iid noise + zero residuals: the full sandwich equals
+    2 sigma^2 H^-1 exactly (cov_func_point_to_point.h sandwich with
+    Sigma_z = diag(0, sigma^2 I))."""
+    rng = np.random.default_rng(3)
+    tgt = make_room_scan(rng, n=128).astype(np.float32)
+    transform = np.array([0.0, 0.0, 0.0], np.float32)
+    mask = jnp.ones(len(tgt), dtype=bool)
+    sigma = 0.03
+    cov = icp.censi_covariance(
+        jnp.array(tgt)[None],
+        mask[None],
+        jnp.array(tgt)[None],
+        mask[None],
+        jnp.array(transform)[None],
+        max_correspondence_distance=0.6,
+        reciprocal=True,
+        src_noise_std=0.0,
+        tgt_noise_std=sigma,
+    )[0]
+    H = _pp_gn_hessian(tgt, tgt, transform)
+    expect = 2.0 * sigma**2 * np.linalg.inv(H)
+    np.testing.assert_allclose(np.asarray(cov), expect, rtol=1e-3, atol=1e-10)
+
+
+def test_censi_covariance_both_clouds_doubles():
+    """Noise on both clouds at zero residual = exactly twice the
+    one-cloud covariance (B_p = -B_q R^T at r=0)."""
+    rng = np.random.default_rng(4)
+    tgt = make_room_scan(rng, n=128).astype(np.float32)
+    mask = jnp.ones(len(tgt), dtype=bool)
+    kw = dict(max_correspondence_distance=0.6, reciprocal=True)
+    one = icp.censi_covariance(
+        jnp.array(tgt)[None], mask[None], jnp.array(tgt)[None], mask[None],
+        jnp.zeros((1, 3)), src_noise_std=0.0, tgt_noise_std=0.02, **kw,
+    )[0]
+    both = icp.censi_covariance(
+        jnp.array(tgt)[None], mask[None], jnp.array(tgt)[None], mask[None],
+        jnp.zeros((1, 3)), src_noise_std=0.02, tgt_noise_std=0.02, **kw,
+    )[0]
+    np.testing.assert_allclose(np.asarray(both), 2.0 * np.asarray(one), rtol=1e-4)
+
+
+def test_censi_covariance_differs_under_residuals():
+    """With real residuals (noisy alignment) the d2J/dZdX structure
+    departs from the plain GN estimate — the term the reference's dead
+    code carries and "gn" mode drops."""
+    rng = np.random.default_rng(5)
+    tgt = make_room_scan(rng, n=128, noise=0.0).astype(np.float32)
+    src = (tgt + rng.normal(0, 0.05, tgt.shape)).astype(np.float32)
+    mask = jnp.ones(len(tgt), dtype=bool)
+    sigma = 0.05
+    cov = np.asarray(
+        icp.censi_covariance(
+            jnp.array(src)[None], mask[None], jnp.array(tgt)[None], mask[None],
+            jnp.zeros((1, 3)),
+            max_correspondence_distance=0.6, reciprocal=True,
+            src_noise_std=0.0, tgt_noise_std=sigma,
+        )[0]
+    )
+    H = _pp_gn_hessian(src, tgt, np.zeros(3, np.float32))
+    gn = 2.0 * sigma**2 * np.linalg.inv(H)
+    rel = np.abs(cov - gn).max() / np.abs(gn).max()
+    assert rel > 0.01, f"censi should differ from gn under residuals, rel={rel}"
+    # ... but stays a valid PSD covariance of the same order of magnitude.
+    evals = np.linalg.eigvalsh(cov)
+    assert np.all(evals > 0)
+    assert np.abs(cov).max() < 100 * np.abs(gn).max()
+
+
+def test_censi_mode_through_icp_align():
+    """End-to-end: icp_covariance_mode='censi' produces finite PSD
+    covariances and the same transforms as 'gn' mode."""
+    rng = np.random.default_rng(6)
+    tgt = make_room_scan(rng)
+    true_pose = np.array([0.2, -0.1, 0.05])
+    src = np.asarray(geom.inv_apply(jnp.array(true_pose), jnp.array(tgt)))
+    mask = jnp.ones(len(tgt), dtype=bool)
+    res = {}
+    for mode in ("gn", "censi"):
+        params = PoseGraphParams(icp_covariance_mode=mode)
+        res[mode] = icp.icp_align_single(
+            jnp.array(src, jnp.float32), mask, jnp.array(tgt, jnp.float32), mask,
+            jnp.zeros(3), params,
+        )
+    np.testing.assert_allclose(
+        np.asarray(res["censi"].transform), np.asarray(res["gn"].transform), atol=1e-6
+    )
+    assert bool(res["censi"].converged)
+    cov = np.asarray(res["censi"].covariance)
+    assert np.all(np.isfinite(cov))
+    assert np.all(np.linalg.eigvalsh(cov) > 0)
