@@ -168,6 +168,7 @@ def main(argv=None):
         N, N, closures_per_node=0, seed=1
     )
     schur_rows = []
+    schur_base = None
     for n_dev in args.mesh_sizes:
         if n_dev > jax.device_count() or N % n_dev != 0:
             continue
@@ -190,11 +191,15 @@ def main(argv=None):
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / args.repeats
         err = np.linalg.norm(np.asarray(out[:N, :2]) - gt2[:, :2], axis=1).max()
+        if schur_base is None:
+            schur_base = dt
         schur_rows.append(
             {
                 "mesh": n_dev,
                 "separators": int(sep_count),
                 "solve_ms": round(dt * 1e3, 1),
+                "speedup": round(schur_base / dt, 2),
+                "efficiency": round(schur_base / dt / n_dev, 2),
                 "max_err_m": round(float(err), 4),
             }
         )

@@ -57,7 +57,17 @@ class PoseGraphParams:
     # unrolled count with convergence masking. Parity mode can raise this.
     icp_maximum_transformation_epsilon: float = 5e-9
     icp_max_correspondence_distance: float = 0.6
-    ransac_iterations: int = 50          # kept for config parity; see ops.icp
+    ransac_iterations: int = 50
+    ransac_outlier_rejection_threshold: float = 0.05  # PCL default (meters)
+    icp_use_ransac_rejection: bool = False
+    # RANSAC correspondence rejection (icp.setRANSACIterations, dpg_slam.cc
+    # :413): when icp_use_ransac_rejection is True, every ICP iteration
+    # fits `ransac_iterations` candidate 2-point rigid models per pair and
+    # drops correspondences that are outliers to the best one — batched
+    # over all pairs and samples (ops.icp). Off by default: this
+    # framework's overlap/fitness/seed-deviation acceptance gates + Huber
+    # graph robustification subsume PCL's role for it on the benchmark
+    # suites; the toggle exists for parity experiments and dynamic scenes.
     icp_use_reciprocal_correspondences: bool = True
     downsample_icp_points_ratio: int = 5  # keep 1 in 5 points (parameters.h:402)
     icp_point_to_line: bool = True        # TPU design: point-to-line ICP
@@ -160,14 +170,19 @@ class PoseGraphParams:
     # change-detection layers, which are precision-critical.
 
     # Solver (replaces GTSAM iSAM2, dpg_slam.cc:316-329)
-    gtsam_max_iterations: int = 100       # kept for parity (parameters.h:235)
+    gtsam_max_iterations: int = 100
+    # The reference's GTSAM optimizer iteration cap (parameters.h:235);
+    # applied as an upper bound on gn_max_iterations for the full
+    # (reoptimize) solve so parity configs lower it the same way.
     gn_max_iterations: int = 20   # full solves (reoptimize)
     incremental_gn_iterations: int = 5
     # Per-keyframe solves are warm-started from the previous optimum, so a
     # few LM steps reach convergence (measured: same final error as 20) —
     # the batch-solve answer to iSAM2's single incremental update.
     gn_damping_init: float = 1e-4
-    gn_tol: float = 1e-8
+    gn_tol: float = 1e-6
+    # LM relative-improvement stop for the full (reoptimize) solve,
+    # forwarded as graph.solve's rel_tol.
     gn_gradient_tol: float = 1e-4
     # Skip/stop the LM loop when the max-abs whitened gradient is below
     # this: re-solving an already-consistent graph (common in warm-started
@@ -245,7 +260,7 @@ class CapacityParams:
     max_nodes: int = 512
     max_edges: int = 8192  # >= max_nodes * (2 + max_loop_closures_per_node)
     max_priors: int = 16   # one per pass (dpg_slam.cc:176-183)
-    max_passes: int = 16
+    max_passes: int = 16  # increment_pass raises when exhausted
 
 
 @dataclasses.dataclass(frozen=True)

@@ -911,10 +911,14 @@ def _reoptimize(
         state.poses,
         graph,
         node_mask,
-        max_iterations=pg.gn_max_iterations,
+        # LM iteration budget: ours, capped by the reference's GTSAM
+        # optimizer cap (parameters.h:235) so parity configs that lower
+        # gtsam_max_iterations bound this solve the same way.
+        max_iterations=min(pg.gn_max_iterations, pg.gtsam_max_iterations),
         damping_init=pg.gn_damping_init,
         method=solve_method,
         robust_delta=pg.robust_delta,
+        rel_tol=pg.gn_tol,
     )
     return state._replace(poses=poses, graph=graph), n_edge_cand
 
@@ -971,6 +975,7 @@ class DpgSlamEngine:
         self.solve_method = "dense" if self.config.capacity.max_nodes <= 1024 else "cg"
         self._dpg_enabled = True
         self.last_dpg_info = None
+        self._coverage_warned_pass = -1
         self.mesh = mesh
         if mesh is not None:
             n = mesh.devices.size
@@ -1137,6 +1142,11 @@ class DpgSlamEngine:
         """Session boundary: bump pass counter and globally reoptimize
         (incrementPassNumber + reoptimize, dpg_slam.cc:25-120). Runs the
         multi-chip path when the engine was constructed with a mesh."""
+        if int(self.state.pass_number) + 1 >= self.config.capacity.max_passes:
+            raise RuntimeError(
+                f"pass capacity exhausted: {int(self.state.pass_number) + 1} "
+                f">= capacity.max_passes={self.config.capacity.max_passes}"
+            )
         self.state = self.state._replace(
             pass_number=self.state.pass_number + 1,
             odom_initialized=jnp.zeros((), bool),
@@ -1221,6 +1231,21 @@ class DpgSlamEngine:
         self.state, self.last_dpg_info = _dpg_step_fn(self.config, self.state)(
             self.state
         )
+        # Coverage guarantee: the submap is capped at the M nearest
+        # contributors, so surface the reference's unmet-threshold warning
+        # (getSubMapCoveringCurrPoseChain, dpg_slam.cc:697-699). Once per
+        # pass to avoid per-keyframe spam.
+        threshold = self.config.dpg.current_pose_graph_coverage_threshold
+        pass_no = int(self.state.pass_number)
+        if pass_no != self._coverage_warned_pass:
+            coverage = float(self.last_dpg_info.coverage)
+            if coverage < threshold:
+                self._coverage_warned_pass = pass_no
+                logger.warning(
+                    "DPG submap coverage %.2f below threshold %.2f for pass "
+                    "%d (submap capped at %d nearest contributors)",
+                    coverage, threshold, pass_no, self.config.dpg.max_submap_nodes,
+                )
 
     def map_layers(self) -> dict:
         """The four DPG map layers as host arrays: dict name -> (P, 2)

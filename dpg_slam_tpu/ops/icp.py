@@ -286,6 +286,9 @@ def _icp_iteration(
     point_to_line: bool,
     epsilon: float,
     damping: float,
+    ransac_samples: int = 0,
+    ransac_threshold: float = 0.05,
+    iter_idx: jnp.ndarray | None = None,
 ) -> _IterState:
     B, P, _ = src.shape
     moved = geom.apply(state.transform[:, None, :], src)  # (B, P, 2)
@@ -312,11 +315,68 @@ def _icp_iteration(
     w = src_mask & (row_cnt > 0)
     Mn = Mf / jnp.maximum(row_cnt, 1.0)[..., None]        # row-normalized
 
-    wf = w.astype(jnp.float32)
     q = jnp.einsum("bpq,bqc->bpc", Mn, tgt, preferred_element_type=jnp.float32)
     n = jnp.einsum(
         "bpq,bqc->bpc", Mn, tgt_normals, preferred_element_type=jnp.float32
     )
+
+    if ransac_samples > 0:
+        # PCL-analog RANSAC correspondence rejection (setRANSACIterations,
+        # dpg_slam.cc:413; threshold = PCL's 0.05 m default): per pair,
+        # fit `ransac_samples` candidate rigid transforms from 2-point
+        # minimal correspondence samples, score them by inlier count
+        # under the rejection threshold, and drop correspondences that
+        # are outliers to the best model. Mask-friendly and batched —
+        # every sample is evaluated against every correspondence as
+        # (B, S, P) elementwise work, no per-sample loop.
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(17),
+            jnp.asarray(0 if iter_idx is None else iter_idx, jnp.int32),
+        )
+        idx = jax.random.randint(key, (ransac_samples, 2), 0, P)
+        a1 = moved[:, idx[:, 0], :]                       # (B, S, 2)
+        b1 = q[:, idx[:, 0], :]
+        a2 = moved[:, idx[:, 1], :]
+        b2 = q[:, idx[:, 1], :]
+        va = a2 - a1
+        vb = b2 - b1
+        sample_ok = (
+            w[:, idx[:, 0]]
+            & w[:, idx[:, 1]]
+            & (jnp.sum(va * va, axis=-1) > 1e-6)
+            & (jnp.sum(vb * vb, axis=-1) > 1e-6)
+        )                                                  # (B, S)
+        ang = jnp.arctan2(vb[..., 1], vb[..., 0]) - jnp.arctan2(
+            va[..., 1], va[..., 0]
+        )
+        cs, sn = jnp.cos(ang), jnp.sin(ang)
+        tx = b1[..., 0] - (cs * a1[..., 0] - sn * a1[..., 1])
+        ty = b1[..., 1] - (sn * a1[..., 0] + cs * a1[..., 1])
+        # Residual of every correspondence under every candidate model.
+        rx = (
+            cs[..., None] * moved[:, None, :, 0]
+            - sn[..., None] * moved[:, None, :, 1]
+            + tx[..., None]
+            - q[:, None, :, 0]
+        )
+        ry = (
+            sn[..., None] * moved[:, None, :, 0]
+            + cs[..., None] * moved[:, None, :, 1]
+            + ty[..., None]
+            - q[:, None, :, 1]
+        )
+        inlier = (rx * rx + ry * ry <= ransac_threshold**2) & w[:, None, :]
+        count = jnp.where(sample_ok, jnp.sum(inlier, axis=-1), -1)  # (B, S)
+        best = jnp.argmax(count, axis=-1)
+        best_inliers = jnp.take_along_axis(
+            inlier, best[:, None, None], axis=1
+        )[:, 0, :]                                         # (B, P)
+        best_count = jnp.take_along_axis(count, best[:, None], axis=1)[:, 0]
+        # Only trust a model supported by >= 3 inliers; otherwise keep all.
+        keep = jnp.where((best_count >= 3)[:, None], best_inliers, True)
+        w = w & keep
+
+    wf = w.astype(jnp.float32)
 
     err = moved - q  # (B, P, 2)
 
@@ -391,6 +451,8 @@ def _icp_iteration(
         "reciprocal",
         "point_to_line",
         "epsilon",
+        "ransac_iterations",
+        "ransac_threshold",
         "fixed_covariance",
         "covariance_mode",
         "sigmas",
@@ -416,6 +478,8 @@ def _icp_align_impl(
     reciprocal: bool,
     point_to_line: bool,
     epsilon: float,
+    ransac_iterations: int,
+    ransac_threshold: float,
     fixed_covariance: bool,
     covariance_mode: str,
     sigmas: tuple[float, float, float],
@@ -468,6 +532,9 @@ def _icp_align_impl(
             point_to_line=point_to_line,
             epsilon=epsilon,
             damping=1e-3,
+            ransac_samples=ransac_iterations,
+            ransac_threshold=ransac_threshold,
+            iter_idx=it,
         )
         # No convergence freezing while any annealing is still in
         # progress — a coarse-gate local optimum is not convergence.
@@ -623,6 +690,10 @@ def icp_align(
         reciprocal=params.icp_use_reciprocal_correspondences,
         point_to_line=params.icp_point_to_line,
         epsilon=params.icp_maximum_transformation_epsilon,
+        ransac_iterations=(
+            params.ransac_iterations if params.icp_use_ransac_rejection else 0
+        ),
+        ransac_threshold=params.ransac_outlier_rejection_threshold,
         fixed_covariance=params.use_fixed_icp_covariance,
         covariance_mode=getattr(params, "icp_covariance_mode", "gn"),
         sigmas=(

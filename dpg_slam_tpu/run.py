@@ -77,14 +77,23 @@ def synthetic_passes(cfg, n_passes: int, scenario: str):
     return seqs
 
 
-def run_pass(eng, seq):
+def run_pass(eng, seq, timer=None):
     """Feed one session through the engine (LaserCallback/OdometryCallback
-    loop analog); returns keyframe timestep indices."""
+    loop analog); returns keyframe timestep indices. With a StageTimer,
+    records per-scan odometry/laser stage wall-clock."""
     kf = []
+    if timer is None:
+        for t in range(len(seq.scans)):
+            eng.observe_odometry(seq.odometry[t])
+            if eng.observe_laser(seq.scans[t]):
+                kf.append(t)
+        return kf
     for t in range(len(seq.scans)):
-        eng.observe_odometry(seq.odometry[t])
-        if eng.observe_laser(seq.scans[t]):
-            kf.append(t)
+        with timer("observe_odometry"):
+            eng.observe_odometry(seq.odometry[t])
+        with timer("observe_laser"):
+            if eng.observe_laser(seq.scans[t]):
+                kf.append(t)
     return kf
 
 
@@ -111,6 +120,10 @@ def main(argv=None):
     parser.add_argument("--save-checkpoint", action="store_true")
     parser.add_argument("--save-logs", action="store_true",
                         help="persist the simulated sequences as .dsl logs")
+    parser.add_argument("--profile", action="store_true",
+                        help="per-stage wall-clock stats in the summary; "
+                             "with --out, also a device trace of the "
+                             "pass-boundary reoptimize under <out>/trace")
     args = parser.parse_args(argv)
 
     from dpg_slam_tpu.engine import DpgSlamEngine
@@ -136,14 +149,28 @@ def main(argv=None):
     if out_dir:
         out_dir.mkdir(parents=True, exist_ok=True)
 
+    timer = None
+    if args.profile:
+        from dpg_slam_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
+
     summary = {"passes": [], "config_beams": cfg.scan.num_beams}
     node_start = 0
     for p, seq in enumerate(seqs):
         t0 = time.perf_counter()
         if args.offline:
-            kf = list(np.flatnonzero(eng.process_sequence(seq.odometry, seq.scans)))
+            if timer is not None:
+                with timer("process_sequence"):
+                    kf = list(
+                        np.flatnonzero(eng.process_sequence(seq.odometry, seq.scans))
+                    )
+            else:
+                kf = list(
+                    np.flatnonzero(eng.process_sequence(seq.odometry, seq.scans))
+                )
         else:
-            kf = run_pass(eng, seq)
+            kf = run_pass(eng, seq, timer=timer)
         track_s = time.perf_counter() - t0
 
         pass_info = {
@@ -168,11 +195,24 @@ def main(argv=None):
 
         if p < len(seqs) - 1:
             t0 = time.perf_counter()
-            eng.increment_pass()  # the /new_pass + reoptimize handshake
+            if timer is not None:
+                import contextlib
+
+                trace_ctx = contextlib.nullcontext()
+                if out_dir and p == 0:
+                    from dpg_slam_tpu.utils.profiling import device_trace
+
+                    trace_ctx = device_trace(str(out_dir / "trace"))
+                with trace_ctx, timer("reoptimize"):
+                    eng.increment_pass()
+            else:
+                eng.increment_pass()  # the /new_pass + reoptimize handshake
             summary["passes"][-1]["reoptimize_seconds"] = round(
                 time.perf_counter() - t0, 2
             )
 
+    if timer is not None:
+        summary["profile"] = timer.summary()
     summary["total_nodes"] = eng.num_nodes()
     summary["total_edges"] = int(eng.state.graph.num_edges)
     layers = eng.map_layers()

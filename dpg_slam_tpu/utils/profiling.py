@@ -3,7 +3,8 @@
 The reference has no profiling (SURVEY.md §5: timestamp printfs behind
 FLAGS_v only). Here: a jax.profiler trace context for device-level traces
 (viewable in TensorBoard/Perfetto) plus a lightweight host-side stage
-timer the engine/runner use for per-stage wall-clock stats.
+timer; the runner exposes both as `run.py --profile` (per-stage stats in
+summary.json, reoptimize device trace under <out>/trace).
 """
 
 from __future__ import annotations

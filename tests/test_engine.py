@@ -352,3 +352,30 @@ def test_reoptimize_edge_overflow_fails_loudly(office_seq):
     )
     with pytest.raises(RuntimeError, match="factor candidates"):
         eng_small._reoptimize_now(eng_small.state)
+
+
+def test_parity_ab_fixed_vs_live_covariance(office_seq):
+    """Quantitative §3.6.1 A/B: the same noisy session under the
+    reference's fixed-diagonal ICP covariance vs the live closed-form
+    modes. Documented expectation (config.py, PARITY.md): the live
+    covariance lets weakly-constrained closures self-downweight, so its
+    ATE must not be worse than fixed mode beyond noise, and every mode
+    must track. Numbers recorded in PARITY.md."""
+    ates = {}
+    for label, overrides in {
+        "fixed": dict(use_fixed_icp_covariance=True),
+        "gn": dict(icp_covariance_mode="gn"),
+        "censi": dict(icp_covariance_mode="censi"),
+    }.items():
+        cfg = small_config(**overrides)
+        eng = DpgSlamEngine(cfg)
+        keyframes = run_sequence(eng, office_seq)
+        gt = to_anchor_frame(office_seq.ground_truth[keyframes])
+        ates[label] = ate_rmse(eng.trajectory(), gt)
+    # Every mode tracks.
+    for label, ate in ates.items():
+        assert ate < 0.25, f"{label} ATE {ate}"
+    # Live modes are at least as good as the reference's constant
+    # diagonal (allow 10% noise band — they differ by per-edge weights).
+    assert ates["gn"] <= ates["fixed"] * 1.10, ates
+    assert ates["censi"] <= ates["fixed"] * 1.15, ates

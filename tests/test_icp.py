@@ -271,3 +271,56 @@ def test_censi_mode_through_icp_align():
     cov = np.asarray(res["censi"].covariance)
     assert np.all(np.isfinite(cov))
     assert np.all(np.linalg.eigvalsh(cov) > 0)
+
+
+def test_ransac_rejection_clean_data_unchanged():
+    """RANSAC on clean rigid data must not perturb the recovered
+    transform (all correspondences are inliers to the true model)."""
+    rng = np.random.default_rng(7)
+    tgt = make_room_scan(rng)
+    true_pose = np.array([0.25, -0.15, 0.08])
+    src = np.asarray(geom.inv_apply(jnp.array(true_pose), jnp.array(tgt)))
+    mask = jnp.ones(len(tgt), dtype=bool)
+    params = PoseGraphParams(icp_use_ransac_rejection=True)
+    res = icp.icp_align_single(
+        jnp.array(src, jnp.float32), mask, jnp.array(tgt, jnp.float32), mask,
+        jnp.zeros(3), params,
+    )
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.transform), true_pose, atol=2e-2)
+
+
+def test_ransac_rejects_moved_object_correspondences():
+    """A displaced object cluster (dynamic scene) biases plain ICP; the
+    RANSAC correspondence rejection should reduce that bias."""
+    rng = np.random.default_rng(8)
+    walls = make_room_scan(rng, n=192)
+    # An object present in both scans but DISPLACED between them: its
+    # correspondences are consistent with a wrong (translated) model.
+    obj = rng.uniform(-0.4, 0.4, (64, 2)) + np.array([1.5, 0.5])
+    tgt = np.vstack([walls, obj]).astype(np.float32)
+    moved_obj = obj + np.array([0.35, 0.0])  # within the 0.6 m gate
+    true_pose = np.array([0.05, 0.02, 0.01])
+    src_world = np.vstack([walls, moved_obj])
+    src = np.asarray(
+        geom.inv_apply(jnp.array(true_pose), jnp.array(src_world))
+    ).astype(np.float32)
+    mask = jnp.ones(len(tgt), dtype=bool)
+
+    errs = {}
+    for use_ransac in (False, True):
+        params = PoseGraphParams(
+            icp_use_ransac_rejection=use_ransac,
+            icp_point_to_line=False,
+            icp_use_reciprocal_correspondences=False,
+            icp_coarse_gate_multiplier=1.0,
+        )
+        res = icp.icp_align_single(
+            jnp.array(src), mask, jnp.array(tgt), mask, jnp.zeros(3), params,
+            gate_multiplier=1.0,
+        )
+        errs[use_ransac] = float(
+            np.linalg.norm(np.asarray(res.transform)[:2] - true_pose[:2])
+        )
+    assert errs[True] < errs[False] * 0.8, errs
+    assert errs[True] < 0.05, errs
