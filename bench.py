@@ -398,7 +398,10 @@ def main():
                 "value": round(pairs / tpu_s, 1),
                 "unit": "icp_pairs/s",
                 "vs_baseline": round(cpu_s / tpu_s, 2),
-                "pallas_transform_max_dev": round(pallas_dev, 6),
+                # Significant digits, not decimal places: 2.7e-07 must
+                # not flatten to 0.0 (the artifact is a parity regression
+                # gate; magnitude matters).
+                "pallas_transform_max_dev": float(f"{pallas_dev:.3e}"),
             }
         )
     )

@@ -75,8 +75,10 @@ class PoseGraphParams:
     use_pallas_icp: bool = False
     # True routes batched point-to-line ICP through the fused Pallas TPU
     # kernel (ops/icp_pallas.py); False uses the XLA array program. Both
-    # produce the same results (tests/test_icp_pallas.py); the kernel is
-    # currently ~7% faster on v5e with more headroom to come.
+    # produce the same results (tests/test_icp_pallas.py; real-chip
+    # deviation recorded per round in BENCH_r*.json). The engine enables
+    # it on TPU for the compacted reoptimize sweep; the v2 kernel cut
+    # device time ~6x vs v1 (commit 391ea53, measured via tools/kbench).
     icp_coarse_gate_multiplier: float = 3.0
     reoptimize_gate_multiplier: float = 1.0
     # Gate multiplier for REOPTIMIZE loop-closure pairs. Unlike online
@@ -218,7 +220,20 @@ class DpgParams:
     distance_threshold_for_local_submap_nodes: float = 5.0
     # TPU design knobs (dense windowed grids replace hash maps):
     grid_extent_cells: int = 1024         # (H, W) of the change-detection window
-    max_submap_nodes: int = 32            # M nearest prior-pass nodes in the submap
+    max_submap_nodes: int = 32            # M prior-pass nodes in the submap
+    submap_coverage_growth: bool = False
+    # Submap contributor selection mode. False (default): the M nearest
+    # in-radius prior-pass nodes. True: the reference's coverage-driven
+    # accumulation (getSubMapCoveringCurrPoseChain, dpg_slam.cc:622-701)
+    # — contributors are greedily added in order of marginal chain-cell
+    # coverage gain until current_pose_graph_coverage_threshold is met,
+    # bounded by max_submap_nodes. Selection scores coverage on a
+    # coarsened grid (coverage_coarse_factor) over a candidate pool of
+    # the max_submap_candidates nearest nodes; the chosen contributors
+    # are then rasterized at full resolution for change detection. The
+    # cap-hit warning (engine) fires in either mode.
+    max_submap_candidates: int = 64
+    coverage_coarse_factor: int = 8
     local_registration: bool = True
     local_reg_max_points: int = 2048
     # Before diffing grids, re-register each chain scan against the

@@ -71,6 +71,101 @@ def _dilate_occupied(grid: jnp.ndarray, margin: int) -> jnp.ndarray:
     return (out if batched else out[0]).astype(bool)
 
 
+def _coverage_growth_select(
+    cfg: DpgConfig,
+    state,
+    contrib_ok: jnp.ndarray,
+    score: jnp.ndarray,
+    chain_lidar: jnp.ndarray,
+    chain_pts_map: jnp.ndarray,
+    chain_ranges: jnp.ndarray,
+    chain_occ: jnp.ndarray,
+    chain_incl: jnp.ndarray,
+    origin: jnp.ndarray,
+):
+    """Coverage-driven submap contributor selection — the reference's
+    getSubMapCoveringCurrPoseChain semantics (dpg_slam.cc:622-701):
+    accumulate contributors until chain-cell coverage reaches
+    current_pose_graph_coverage_threshold, bounded by max_submap_nodes.
+
+    The reference walks candidates serially, re-rasterizing and
+    re-measuring coverage after each addition; here the candidate pool
+    (max_submap_candidates nearest in-radius nodes) is rasterized ONCE
+    on a coarsened grid (coverage_coarse_factor) and a fixed-length
+    greedy max-cover loop picks, each step, the candidate with the
+    largest marginal chain-coverage gain — stopping (by picking nothing)
+    once the threshold is met. Unlike M-nearest, a redundant cluster of
+    close nodes cannot crowd complementary farther ones out of the
+    submap.
+
+    Returns (contrib_idx (M,), contrib_valid (M,)).
+    """
+    dpg = cfg.dpg
+    M = dpg.max_submap_nodes
+    P_pool = max(dpg.max_submap_candidates, M)
+    f = dpg.coverage_coarse_factor
+    extent = dpg.grid_extent_cells
+    res = dpg.occ_grid_resolution
+    c_extent = max(1, extent // f)
+    c_res = res * f
+    c_march = max(1, int(round(cfg.scan.range_max / res)) // f)
+
+    _, pool_idx = jax.lax.top_k(-score, P_pool)                # (P_pool,)
+    pool_valid = jnp.take(contrib_ok, pool_idx)
+
+    # Chain coverage target on the coarse grid (selection only; the info
+    # coverage diagnostic stays full-resolution).
+    chain_grids_c = raster.rasterize_scans(
+        chain_lidar, chain_pts_map, chain_ranges, chain_occ, chain_incl,
+        origin, c_extent, c_res, c_march,
+    )
+    chain_known_c = jnp.max(chain_grids_c, axis=0) > raster.UNKNOWN
+    total = jnp.maximum(jnp.sum(chain_known_c), 1)
+
+    pool_poses = state.poses[pool_idx]
+    pool_lidar = _lidar_poses(cfg, pool_poses)
+    pool_ranges = state.ranges[pool_idx]
+    pool_pts = geom.apply(
+        pool_lidar[:, None, :], scan.points_in_laser_frame(pool_ranges, cfg.scan)
+    )
+    pool_incl, pool_occ = _beam_select(
+        cfg, state.labels[pool_idx], state.sector_active[pool_idx]
+    )
+    pool_incl = pool_incl & pool_valid[:, None]
+    pool_occ = pool_occ & pool_valid[:, None]
+    pool_grids_c = raster.rasterize_scans(
+        pool_lidar, pool_pts, pool_ranges, pool_occ, pool_incl,
+        origin, c_extent, c_res, c_march,
+    )                                                          # (P_pool, h, w)
+    pool_known = (pool_grids_c > raster.UNKNOWN) & chain_known_c[None]
+
+    threshold = dpg.current_pose_graph_coverage_threshold
+
+    def body(i, carry):
+        covered, picked, sel = carry
+        gains = jnp.sum(pool_known & ~covered[None], axis=(1, 2))
+        gains = jnp.where(pool_valid & ~picked, gains, -1)
+        best = jnp.argmax(gains)
+        cov_now = jnp.sum(covered) / total
+        take = (gains[best] > 0) & (cov_now < threshold)
+        picked = picked.at[best].set(picked[best] | take)
+        covered = covered | (pool_known[best] & take)
+        sel = sel.at[i].set(jnp.where(take, best, -1))
+        return covered, picked, sel
+
+    covered, _, sel = jax.lax.fori_loop(
+        0, M, body,
+        (
+            jnp.zeros_like(chain_known_c),
+            jnp.zeros((P_pool,), bool),
+            jnp.full((M,), -1, jnp.int32),
+        ),
+    )
+    contrib_idx = jnp.take(pool_idx, jnp.maximum(sel, 0))
+    contrib_valid = sel >= 0
+    return contrib_idx, contrib_valid
+
+
 class DpgStepInfo(NamedTuple):
     """Diagnostics from one DPG step (observability; reference logs these
     via ROS_INFO at dpg_slam.cc:859-875)."""
@@ -165,7 +260,9 @@ def execute_dpg(cfg: DpgConfig, state):
     # (chain grids are rasterized AFTER the local re-registration in 2b.)
 
     # ---- 2. Submap contributors: active nodes of PRIOR passes within the
-    # proximity radius of any chain node (cc:646-668), M nearest.
+    # proximity radius of any chain node (cc:646-668). Two selection
+    # modes: M nearest (default), or the reference's coverage-driven
+    # greedy accumulation (cc:622-701) under submap_coverage_growth.
     prior_pass = node_mask & (state.pass_ids != state.pass_number) & state.node_active
     d_chain = jnp.linalg.norm(
         state.poses[:, None, 0:2] - chain_poses[None, :, 0:2], axis=-1
@@ -174,8 +271,15 @@ def execute_dpg(cfg: DpgConfig, state):
     near = jnp.min(d_chain, axis=1) <= dpg.distance_threshold_for_local_submap_nodes
     contrib_ok = prior_pass & near
     score = jnp.where(contrib_ok, jnp.min(d_chain, axis=1), jnp.inf)
-    _, contrib_idx = jax.lax.top_k(-score, M)                  # (M,)
-    contrib_valid = jnp.take(contrib_ok, contrib_idx)
+    if dpg.submap_coverage_growth:
+        contrib_idx, contrib_valid = _coverage_growth_select(
+            cfg, state, contrib_ok, score,
+            chain_lidar, chain_pts_map, chain_ranges, chain_occ, chain_incl,
+            origin,
+        )
+    else:
+        _, contrib_idx = jax.lax.top_k(-score, M)              # (M,)
+        contrib_valid = jnp.take(contrib_ok, contrib_idx)
 
     sub_poses = state.poses[contrib_idx]
     sub_lidar = _lidar_poses(cfg, sub_poses)

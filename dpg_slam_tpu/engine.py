@@ -1231,20 +1231,27 @@ class DpgSlamEngine:
         self.state, self.last_dpg_info = _dpg_step_fn(self.config, self.state)(
             self.state
         )
-        # Coverage guarantee: the submap is capped at the M nearest
-        # contributors, so surface the reference's unmet-threshold warning
-        # (getSubMapCoveringCurrPoseChain, dpg_slam.cc:697-699). Once per
-        # pass to avoid per-keyframe spam.
+        # Coverage guarantee: the submap is capped at max_submap_nodes
+        # contributors (M nearest, or greedy coverage growth when
+        # submap_coverage_growth is set), so surface the reference's
+        # unmet-threshold warning (getSubMapCoveringCurrPoseChain,
+        # dpg_slam.cc:697-699). Once per pass to avoid per-keyframe spam.
         threshold = self.config.dpg.current_pose_graph_coverage_threshold
         pass_no = int(self.state.pass_number)
         if pass_no != self._coverage_warned_pass:
             coverage = float(self.last_dpg_info.coverage)
             if coverage < threshold:
                 self._coverage_warned_pass = pass_no
+                mode = (
+                    "coverage-growth"
+                    if self.config.dpg.submap_coverage_growth
+                    else "nearest"
+                )
                 logger.warning(
                     "DPG submap coverage %.2f below threshold %.2f for pass "
-                    "%d (submap capped at %d nearest contributors)",
-                    coverage, threshold, pass_no, self.config.dpg.max_submap_nodes,
+                    "%d (submap capped at %d %s contributors)",
+                    coverage, threshold, pass_no,
+                    self.config.dpg.max_submap_nodes, mode,
                 )
 
     def map_layers(self) -> dict:

@@ -70,7 +70,8 @@ def _kernel(
     nrm_y_ref,     # (G, P)
     smask_ref,     # (G, P) float 0/1
     seed_ref,      # (G, 4)  [tx, ty, th, gate_multiplier]
-    out_ref,       # (G, 16) [tx, ty, th, ncorr, fitness, H00,H01,H02,H11,H12,H22, iters, 0...]
+    out_ref,       # (G, 24) [tx, ty, th, ncorr, fitness, H00,H01,H02,H11,H12,H22,
+                   #          iters, c_n, su_x, su_y, htt, q_tt, srv1, srv2, p_tt, 0...]
     *,
     P: int,
     max_iterations: int,
@@ -79,6 +80,7 @@ def _kernel(
     reciprocal: bool,
     epsilon: float,
     damping: float,
+    censi: bool,
 ):
     G = _G
     sx = src_x_ref[:, :]
@@ -219,9 +221,58 @@ def _kernel(
         jax.lax.while_loop(cond, wbody, (jnp.zeros((), jnp.float32), init))
     )
 
+    if censi:
+        # Censi sandwich accumulators at the FINAL transform, fine gate —
+        # one extra P^2 pass total (not per iteration), keeping the
+        # (G, P, P) work VMEM-resident instead of re-materializing it as
+        # an XLA post-pass (the traffic this kernel exists to avoid).
+        # Matches ops.icp.censi_covariance's reductions exactly; the 3x3
+        # sandwich assembly happens outside the kernel (O(B) scalar work).
+        c = jnp.cos(fth)
+        s = jnp.sin(fth)
+        mx = c * sx - s * sy + ftx
+        my = s * sx + c * sy + fty
+        dx = mx[:, :, None] - tx[:, None, :]
+        dy = my[:, :, None] - ty[:, None, :]
+        d2 = dx * dx + dy * dy
+        rowmin = jnp.min(d2, axis=2, keepdims=True)
+        match = (d2 <= rowmin) & (d2 <= max_corr * max_corr)
+        if reciprocal:
+            colmin = jnp.min(d2, axis=1, keepdims=True)
+            match = match & (d2 <= colmin)
+        mf = match.astype(jnp.float32)
+        row_cnt = jnp.sum(mf, axis=2)
+        wf = ((row_cnt > 0.0) & (sm > 0.5)).astype(jnp.float32)
+        inv_cnt = 1.0 / jnp.maximum(row_cnt, 1.0)
+        qx = jnp.sum(mf * tx[:, None, :], axis=2) * inv_cnt
+        qy = jnp.sum(mf * ty[:, None, :], axis=2) * inv_cnt
+        rx = (mx - qx) * wf                       # residual r (weighted)
+        ry = (my - qy) * wf
+        rpx = mx - ftx                            # R p
+        rpy = my - fty
+        ux = -rpy * wf                            # u = R' p (weighted)
+        uy = rpx * wf
+        c_n = jnp.sum(wf, axis=1, keepdims=True)
+        su_x = jnp.sum(ux, axis=1, keepdims=True)
+        su_y = jnp.sum(uy, axis=1, keepdims=True)
+        uu = ux * ux + uy * uy
+        htt = jnp.sum(uu - rx * rpx - ry * rpy, axis=1, keepdims=True)
+        q_tt = jnp.sum(uu, axis=1, keepdims=True)
+        v1 = c * ux + s * uy - s * rx + c * ry    # R^T u + R'^T r
+        v2 = -s * ux + c * uy - c * rx - s * ry
+        rv1 = c * v1 - s * v2
+        rv2 = s * v1 + c * v2
+        srv1 = jnp.sum(rv1, axis=1, keepdims=True)
+        srv2 = jnp.sum(rv2, axis=1, keepdims=True)
+        p_tt = jnp.sum(v1 * v1 + v2 * v2, axis=1, keepdims=True)
+    else:
+        c_n = su_x = su_y = htt = q_tt = srv1 = srv2 = p_tt = zeros
+
     out_ref[:, :] = jnp.concatenate(
         [ftx, fty, fth, ncorr, fitness, H00, H01, H02, H11, H12, H22,
-         jnp.full((G, 1), fin_it, jnp.float32), zeros, zeros, zeros, zeros],
+         jnp.full((G, 1), fin_it, jnp.float32),
+         c_n, su_x, su_y, htt, q_tt, srv1, srv2, p_tt,
+         zeros, zeros, zeros, zeros],
         axis=1,
     )
 
@@ -229,12 +280,13 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_iterations", "max_corr", "reciprocal", "epsilon", "interpret",
+        "max_iterations", "max_corr", "reciprocal", "epsilon", "censi",
+        "interpret",
     ),
 )
 def _run_kernel(
     planes, seeds,
-    *, max_iterations, max_corr, reciprocal, epsilon, interpret,
+    *, max_iterations, max_corr, reciprocal, epsilon, censi, interpret,
 ):
     B, P = planes[0].shape
     assert B % _G == 0
@@ -248,6 +300,7 @@ def _run_kernel(
         reciprocal=reciprocal,
         epsilon=epsilon,
         damping=1e-3,
+        censi=censi,
     )
     plane_spec = pl.BlockSpec((_G, P), lambda b: (b, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -255,8 +308,8 @@ def _run_kernel(
         grid=(B // _G,),
         in_specs=[plane_spec] * 7
         + [pl.BlockSpec((_G, 4), lambda b: (b, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_G, 16), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 16), jnp.float32),
+        out_specs=pl.BlockSpec((_G, 24), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 24), jnp.float32),
         interpret=interpret,
     )(*planes, seeds)
 
@@ -323,12 +376,17 @@ def icp_align_pallas(
         [init_guess.astype(jnp.float32), gate_multiplier[:, None]], axis=-1
     )
 
+    censi_mode = (
+        not params.use_fixed_icp_covariance
+        and getattr(params, "icp_covariance_mode", "gn") == "censi"
+    )
     out = _run_kernel(
         planes, seeds,
         max_iterations=params.icp_maximum_iterations,
         max_corr=params.icp_max_correspondence_distance,
         reciprocal=params.icp_use_reciprocal_correspondences,
         epsilon=params.icp_maximum_transformation_epsilon,
+        censi=censi_mode,
         interpret=interpret,
     )[:B0]
     init_guess = init_guess[:B0]
@@ -366,16 +424,39 @@ def icp_align_pallas(
     )
     if params.use_fixed_icp_covariance:
         cov = jnp.broadcast_to(fallback, H.shape)
-    elif getattr(params, "icp_covariance_mode", "gn") == "censi":
-        # Full closed-form sandwich (XLA post-pass shared with the
-        # non-pallas path; see ops.icp.censi_covariance).
-        cov = icp_mod.censi_covariance(
-            src, src_mask, tgt, tgt_mask, transform,
-            max_correspondence_distance=params.icp_max_correspondence_distance,
-            reciprocal=params.icp_use_reciprocal_correspondences,
-            src_noise_std=sensor_noise_std,
-            tgt_noise_std=sensor_noise_std,
-        )
+    elif censi_mode:
+        # Full closed-form sandwich from KERNEL-RESIDENT accumulators
+        # (one extra in-VMEM P^2 pass at the final transform; see
+        # _kernel) — no (B, P, P) XLA re-materialization. The 3x3
+        # assembly below mirrors ops.icp.censi_covariance exactly
+        # (cov_func_point_to_point.h:530-556 analog).
+        from dpg_slam_tpu import geom as geom_mod
+
+        c_n = out[:, 12]
+        su_x, su_y = out[:, 13], out[:, 14]
+        htt, q_tt = out[:, 15], out[:, 16]
+        srv1, srv2, p_tt = out[:, 17], out[:, 18], out[:, 19]
+        zero = jnp.zeros_like(c_n)
+
+        def sym3(d0, d1, a, b, tt):
+            return jnp.stack(
+                [
+                    jnp.stack([d0, zero, a], axis=-1),
+                    jnp.stack([zero, d1, b], axis=-1),
+                    jnp.stack([a, b, tt], axis=-1),
+                ],
+                axis=-2,
+            )
+
+        Hc = 2.0 * sym3(c_n, c_n, su_x, su_y, htt)
+        Sq = 4.0 * sym3(c_n, c_n, su_x, su_y, q_tt)
+        Sp = 4.0 * sym3(c_n, c_n, srv1, srv2, p_tt)
+        S = (sensor_noise_std**2) * (Sp + Sq)
+        ok = c_n >= 3.0
+        eye = jnp.eye(3, dtype=Hc.dtype)
+        Hinv = geom_mod.inv_sym3(jnp.where(ok[:, None, None], Hc, eye[None]))
+        cov = jnp.einsum("bij,bjk,bkl->bil", Hinv, S, Hinv)
+        cov = jnp.where(ok[:, None, None], cov, (1e6 * eye)[None])
         floor = jnp.diag(
             jnp.array(
                 [

@@ -1,6 +1,8 @@
 """DPG change-detection tests on synthetic two-pass scenes
 (SURVEY.md §4: object added/removed across sessions; BASELINE config 4)."""
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -194,3 +196,94 @@ def test_dpg_static_environment_no_changes():
     total = (labels != scan.MAX_RANGE).sum()
     changed = ((labels == scan.ADDED) | (labels == scan.REMOVED)).sum()
     assert changed / total < 0.05, f"{changed}/{total} points changed in a static world"
+
+
+# ---------------------------------------------------------------------------
+# Coverage-driven submap growth (getSubMapCoveringCurrPoseChain,
+# dpg_slam.cc:622-701)
+# ---------------------------------------------------------------------------
+
+def _coverage_scene_state(cfg):
+    """Hand-built state: pass-1 chain spans x = -4, 0, +4; pass-0
+    candidates are a redundant cluster near x=0 (nearest by distance)
+    plus two complementary nodes at x = +-4.5 that M-nearest can never
+    pick while the cluster exists."""
+    from dpg_slam_tpu.engine import _init_state
+
+    state = _init_state(cfg)
+    poses = [
+        # pass 0: redundant cluster (nearest to the chain)
+        [0.00, 0.0, 0.0], [0.05, 0.0, 0.0], [0.10, 0.0, 0.0], [0.15, 0.0, 0.0],
+        # pass 0: complementary coverage nodes (slightly farther)
+        [-4.5, 0.0, 0.0], [4.5, 0.0, 0.0],
+        # pass 1: current pose chain
+        [-4.0, 0.0, 0.0], [0.0, 0.0, 0.0], [4.0, 0.0, 0.0],
+    ]
+    n = len(poses)
+    pass_ids = np.array([0] * 6 + [1] * 3, np.int32)
+    B = cfg.scan.num_beams
+    state = state._replace(
+        poses=state.poses.at[:n].set(jnp.asarray(poses, jnp.float32)),
+        pass_ids=state.pass_ids.at[:n].set(jnp.asarray(pass_ids)),
+        node_active=state.node_active.at[:n].set(True),
+        ranges=state.ranges.at[:n].set(3.0),
+        labels=state.labels.at[:n].set(scan.NOT_YET_LABELED),
+        sector_active=state.sector_active.at[:n].set(True),
+        num_nodes=jnp.asarray(n, jnp.int32),
+        pass_number=jnp.asarray(1, jnp.int32),
+    )
+    return state
+
+
+def _coverage_cfg(growth: bool):
+    return DpgConfig(
+        scan=ScanParams(num_beams=256, range_max=10.0),
+        pose_graph=PoseGraphParams(icp_max_points=64),
+        dpg=DpgParams(
+            grid_extent_cells=256,
+            occ_grid_resolution=0.1,
+            current_pose_chain_len=3,
+            max_submap_nodes=3,
+            max_submap_candidates=8,
+            coverage_coarse_factor=8,
+            submap_coverage_growth=growth,
+            current_pose_graph_coverage_threshold=1.0,
+            local_registration=False,
+            num_bins_for_change_detection=36,
+        ),
+        capacity=CapacityParams(max_nodes=16, max_edges=64, max_priors=4),
+    )
+
+
+def test_coverage_growth_beats_m_nearest():
+    """M-nearest under-covers (picks the redundant cluster); coverage
+    growth covers the whole chain with the same M budget."""
+    from dpg_slam_tpu.dpg.change_detection import execute_dpg
+
+    covs = {}
+    for growth in (False, True):
+        cfg = _coverage_cfg(growth)
+        _, info = execute_dpg(cfg, _coverage_scene_state(cfg))
+        covs[growth] = float(info.coverage)
+    assert covs[False] < 0.65, f"M-nearest unexpectedly covered: {covs}"
+    assert covs[True] > 0.75, f"coverage growth under-covered: {covs}"
+    assert covs[True] > covs[False] + 0.15
+
+
+def test_coverage_growth_stops_at_threshold():
+    """With a low threshold the greedy loop stops adding contributors
+    once coverage is met instead of filling all M slots."""
+    from dpg_slam_tpu.dpg.change_detection import execute_dpg
+
+    cfg = _coverage_cfg(True)
+    cfg = DpgConfig(
+        scan=cfg.scan, pose_graph=cfg.pose_graph, capacity=cfg.capacity,
+        dpg=dataclasses.replace(
+            cfg.dpg, current_pose_graph_coverage_threshold=0.3
+        ),
+    )
+    _, info = execute_dpg(cfg, _coverage_scene_state(cfg))
+    # One contributor (any single disk covers >= ~1/3 of the chain) should
+    # satisfy the 0.3 threshold; the greedy loop must not pick all 3.
+    assert int(info.num_contributors) < 3
+    assert float(info.coverage) >= 0.3

@@ -83,3 +83,37 @@ def test_pallas_gate_multiplier_per_pair():
         np.asarray(ker.transform), np.asarray(ref.transform), atol=5e-4
     )
     np.testing.assert_allclose(np.asarray(ker.transform), true_poses, atol=5e-2)
+
+
+def test_pallas_censi_kernel_resident_parity():
+    """censi mode under use_pallas_icp accumulates the sandwich terms
+    INSIDE the kernel (no (B, P, P) XLA post-pass); parity vs the XLA
+    censi path, which evaluates ops.icp.censi_covariance at its own
+    final transform."""
+    src, smask, tgt, tmask, seeds, _ = _batch(B=4, seed=7)
+    params = PoseGraphParams(icp_covariance_mode="censi")
+    ref = icp.icp_align(src, smask, tgt, tmask, seeds, params)
+    ker = icp_align_pallas(src, smask, tgt, tmask, seeds, params, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(ker.transform), np.asarray(ref.transform), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ker.covariance), np.asarray(ref.covariance), rtol=0.05, atol=1e-7
+    )
+    # Sanity: censi covariance is a real SPD-ish matrix, not the fixed diag.
+    assert np.all(np.linalg.eigvalsh(np.asarray(ker.covariance)) > 0)
+
+
+def test_pallas_censi_masked_points_excluded():
+    """Masked source/target points must not leak into the kernel-resident
+    censi accumulators (coordinates are parked at +-1e4)."""
+    src, smask, tgt, tmask, seeds, _ = _batch(B=2, seed=9)
+    smask = smask.at[:, 200:].set(False)
+    tmask = tmask.at[:, 220:].set(False)
+    params = PoseGraphParams(icp_covariance_mode="censi")
+    ref = icp.icp_align(src, smask, tgt, tmask, seeds, params)
+    ker = icp_align_pallas(src, smask, tgt, tmask, seeds, params, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ker.covariance), np.asarray(ref.covariance), rtol=0.05, atol=1e-7
+    )
