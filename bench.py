@@ -310,12 +310,86 @@ def bench_pallas_parity(cfg, eng, n_pairs=64):
 
 def bench_keyframe(cfg=None):
     """Secondary metric: online per-keyframe latency (keyframes/s), TPU vs
-    the serial C++ keyframe loop, on never-seen continuation scans."""
+    the serial C++ keyframe loop, on never-seen continuation scans.
+
+    Prefers the committed fixture (bench_assets/keyframe, built by
+    tools/build_bench_assets.py) so the TPU process never pays the
+    session-priming cost; falls back to building in-process.
+    """
+    import pathlib
+
     cfg = cfg or _bench_config()
-    eng, seq, t_start = build_session(cfg)
+    fix = pathlib.Path(__file__).resolve().parent / "bench_assets" / "keyframe"
+    if (fix / "config.json").exists() and (
+        (fix / "config.json").read_text() == cfg.to_json()
+    ):
+        from dpg_slam_tpu.utils.checkpoint import load_checkpoint
+
+        eng = load_checkpoint(fix)
+        cont = np.load(fix / "continuation.npz")
+
+        class _Seq:
+            scans = cont["scans"]
+            odometry = cont["odometry"]
+
+        seq, t_start = _Seq(), int(cont["t_start"])
+        # The continuation arrays are stored from t_start onward.
+        seq.scans = np.concatenate(
+            [np.zeros((t_start,) + seq.scans.shape[1:], seq.scans.dtype), seq.scans]
+        )
+        seq.odometry = np.concatenate(
+            [np.zeros((t_start, 3), seq.odometry.dtype), seq.odometry]
+        )
+        # bench_cpu_baseline reads odometry[t_start-1] for the first delta.
+        seq.odometry[t_start - 1] = cont["odom_prev"]
+    else:
+        eng, seq, t_start = build_session(cfg)
     fps_tpu = bench_tpu(cfg, eng, seq, t_start)
     fps_cpu = bench_cpu_baseline(cfg, eng, seq, t_start)
     return fps_tpu, fps_cpu
+
+
+def bench_schur_kernel(n=768, m=385, n_live=600, repeats=10):
+    """Execute the compiled Pallas Schur elimination kernel
+    (ops/schur_pallas.spd_solve_pallas) at production sizes on the real
+    chip, check parity against XLA cho_factor/cho_solve on-device, and
+    time both. n = 3*interior-slot cap, m = 3*sep_cap + 1 — the shapes
+    distributed_reoptimize feeds it (parallel/schur.py).
+
+    Returns (kernel_ms, xla_ms, max_dev).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    from dpg_slam_tpu.ops.schur_pallas import spd_solve_pallas
+
+    rng = np.random.default_rng(0)
+    A = rng.normal(0, 1, (n_live, n_live))
+    H = np.eye(n, dtype=np.float64)
+    H[:n_live, :n_live] = A @ A.T / n_live + 3.0 * np.eye(n_live)
+    B = rng.normal(0, 1, (n, m))
+    Hj = jnp.asarray(H, jnp.float32)
+    Bj = jnp.asarray(B, jnp.float32)
+
+    @jax.jit
+    def xla_solve(H, B):
+        return cho_solve(cho_factor(H, lower=True), B)
+
+    Xk = jax.block_until_ready(spd_solve_pallas(Hj, Bj))  # Mosaic compile
+    Xx = jax.block_until_ready(xla_solve(Hj, Bj))
+    dev = float(jnp.max(jnp.abs(Xk - Xx)))
+
+    def best_of(f):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(Hj, Bj))
+            best = min(best, time.perf_counter() - t0)
+            time.sleep(0.03)
+        return best
+
+    return best_of(spd_solve_pallas) * 1e3, best_of(xla_solve) * 1e3, dev
 
 
 def _bench_config():
@@ -341,13 +415,15 @@ def _note(msg, t0):
 
 
 def _build_session_on_cpu(t0):
-    """Build the two-pass session in a CPU subprocess and hand the state
-    across via checkpoint.
+    """Load the committed two-pass session fixture, or build it in a CPU
+    subprocess and hand the state across via checkpoint.
 
     The setup (2 passes x 3 laps of simulated tracking) is NOT the thing
-    being measured, and running it over the TPU remote-compile relay
-    costs 10+ minutes of compile round-trips (measured 2026-08:
-    >590 s vs 35 s on host CPU). A subprocess is required because the
+    being measured; the committed fixture (bench_assets/session, built by
+    tools/build_bench_assets.py, config-guarded) makes the bench start at
+    the measurement. Fallback path: building over the TPU remote-compile
+    relay costs 10+ minutes of compile round-trips (measured 2026-08:
+    >590 s vs 35 s on host CPU), so a CPU subprocess is required — the
     platform choice is per-process (the axon sitecustomize force-registers
     the TPU platform); the checkpoint hop also guarantees the TPU process
     compiles its reoptimize program from clean, device-local state.
@@ -356,6 +432,17 @@ def _build_session_on_cpu(t0):
     import pathlib
     import subprocess
     import tempfile
+
+    fix = pathlib.Path(__file__).resolve().parent / "bench_assets" / "session"
+    if (fix / "config.json").exists() and (
+        (fix / "config.json").read_text() == _bench_config().to_json()
+    ):
+        from dpg_slam_tpu.utils.checkpoint import load_checkpoint
+
+        eng = load_checkpoint(fix)
+        eng._dpg_enabled = False
+        _note("loaded committed session fixture", t0)
+        return eng
 
     ckpt = tempfile.mkdtemp(prefix="bench_session_")
     repo = str(pathlib.Path(__file__).resolve().parent)
@@ -381,15 +468,22 @@ def _build_session_on_cpu(t0):
 def main():
     t0 = time.perf_counter()
     cfg = _bench_config()
-    _note("building two-pass session (CPU subprocess)", t0)
+    _note("acquiring two-pass session", t0)
     eng = _build_session_on_cpu(t0)
-    _note(f"session built ({eng.num_nodes()} nodes); timing TPU reoptimize", t0)
+    _note(f"session ready ({eng.num_nodes()} nodes); timing TPU reoptimize", t0)
     tpu_s = bench_reoptimize(cfg, eng)
     _note(f"tpu reoptimize best={tpu_s:.4f}s; timing serial C++ baseline", t0)
     cpu_s, pairs = bench_reoptimize_cpu(cfg, eng)
     _note(f"cpu baseline {cpu_s:.2f}s / {pairs} pairs; pallas parity check", t0)
     pallas_dev = bench_pallas_parity(cfg, eng)
-    _note(f"pallas max transform deviation {pallas_dev:.2e}", t0)
+    _note(f"pallas max transform deviation {pallas_dev:.2e}; keyframe bench", t0)
+    kf_tpu, kf_cpu = bench_keyframe(cfg)
+    _note(f"keyframes/s tpu={kf_tpu:.1f} cpu={kf_cpu:.1f}; schur kernel", t0)
+    sk_ms, sx_ms, sk_dev = bench_schur_kernel()
+    _note(
+        f"schur kernel {sk_ms:.2f} ms vs xla {sx_ms:.2f} ms (dev {sk_dev:.1e})",
+        t0,
+    )
 
     print(
         json.dumps(
@@ -402,6 +496,14 @@ def main():
                 # not flatten to 0.0 (the artifact is a parity regression
                 # gate; magnitude matters).
                 "pallas_transform_max_dev": float(f"{pallas_dev:.3e}"),
+                # Secondary online metric (the per-keyframe pipeline).
+                "keyframes_per_s": round(kf_tpu, 1),
+                "keyframe_vs_baseline": round(kf_tpu / kf_cpu, 2),
+                # Compiled (Mosaic) Pallas Schur elimination vs XLA
+                # cho_factor/cho_solve at production sizes, on-device.
+                "schur_kernel_ms": round(sk_ms, 2),
+                "schur_xla_ms": round(sx_ms, 2),
+                "schur_kernel_dev": float(f"{sk_dev:.3e}"),
             }
         )
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -158,6 +159,7 @@ def main(argv=None):
                 "max_err_m": round(float(err), 4),
             }
         )
+        print(f"# cg {rows[-1]}", file=sys.stderr, flush=True)
     results["distributed_solve"] = rows
 
     # Schur path: one reduced-system psum per GN iteration instead of a
@@ -203,12 +205,13 @@ def main(argv=None):
                 "max_err_m": round(float(err), 4),
             }
         )
+        print(f"# schur {schur_rows[-1]}", file=sys.stderr, flush=True)
     results["schur_solve_chain"] = schur_rows
     results["note"] = (
         "virtual CPU meshes share one host's cores; efficiency numbers are "
         "structural indicators only — run on a real slice for true scaling"
     )
-    print(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2), flush=True)
     return 0
 
 

@@ -55,6 +55,7 @@ from dpg_slam_tpu.io import logs as log_io
 
 __all__ = [
     "StreamBundle",
+    "load_bag_streams",
     "load_csv_streams",
     "load_npz_streams",
     "align_streams",
@@ -140,6 +141,43 @@ def load_npz_streams(path: str | pathlib.Path) -> StreamBundle:
     )
 
 
+def load_bag_streams(
+    path: str | pathlib.Path,
+    scan_topic: str | None = None,
+    odom_topic: str | None = None,
+    gt_topic: str | None = None,
+) -> tuple[StreamBundle, dict]:
+    """ROS1 ``.bag`` -> (StreamBundle, scan_meta) via the pure-python
+    reader (io/rosbag1.py; no ROS install needed).
+
+    scan_meta carries the recorded sensor geometry (angle_min/max/
+    increment, range_min/max, num_beams) so callers can either keep the
+    native geometry (num_beams=None in convert) or resample. gt_topic:
+    an optional second Odometry stream (mocap / amcl export) recorded as
+    ground truth.
+    """
+    from dpg_slam_tpu.io import rosbag1
+
+    scan_stamps, scans, meta, odom_stamps, odom = rosbag1.read_bag_streams(
+        path, scan_topic=scan_topic, odom_topic=odom_topic,
+        exclude_topics=() if gt_topic is None else (gt_topic,),
+    )
+    gt_stamps = gt = None
+    if gt_topic is not None:
+        _, _, _, gt_stamps, gt = rosbag1.read_bag_streams(
+            path, scan_topic=scan_topic, odom_topic=gt_topic
+        )
+    bundle = StreamBundle(
+        scan_stamps=scan_stamps,
+        scans=scans,
+        odom_stamps=odom_stamps,
+        odom=odom,
+        gt_stamps=gt_stamps,
+        gt=gt,
+    )
+    return bundle, meta
+
+
 def _interp_poses(
     query: np.ndarray, stamps: np.ndarray, poses: np.ndarray
 ) -> np.ndarray:
@@ -217,22 +255,51 @@ def convert(
     scan_src: str | pathlib.Path,
     odom_src: str | pathlib.Path | None,
     out: str | pathlib.Path,
-    num_beams: int = 1024,
-    range_max: float = 10.0,
+    num_beams: int | None = 1024,
+    range_max: float | None = 10.0,
     gt_src: str | pathlib.Path | None = None,
     t_start: float | None = None,
     duration: float | None = None,
     stride: int = 1,
+    scan_topic: str | None = None,
+    odom_topic: str | None = None,
+    gt_topic: str | None = None,
 ) -> Sequence:
     """One recorded session -> one `.dsl`/`.npz` log. Returns the
-    Sequence written (handy for tests)."""
+    Sequence written (handy for tests).
+
+    Input forms:
+      * ``.bag`` — a ROS1 v2.0 bag (pure-python reader, io/rosbag1.py);
+        topics default to the bag's single LaserScan/Odometry streams,
+        gt_topic optionally names a second Odometry stream recorded as
+        ground truth. num_beams/range_max default (None) to the RECORDED
+        sensor geometry — the suite manifest's scan_overrides then carry
+        that geometry into the engine config.
+      * ``.npz`` streams / CSV pair — pre-exported streams (see module
+        docstring); num_beams/range_max=None are invalid here (no
+        recorded metadata to fall back on).
+    """
     scan_src = pathlib.Path(scan_src)
-    if scan_src.suffix == ".npz" and odom_src is None:
+    if scan_src.suffix == ".bag":
+        bundle, meta = load_bag_streams(
+            scan_src, scan_topic=scan_topic, odom_topic=odom_topic,
+            gt_topic=gt_topic,
+        )
+        if num_beams is None:
+            num_beams = meta["num_beams"]
+        if range_max is None:
+            range_max = meta["range_max"]
+    elif scan_src.suffix == ".npz" and odom_src is None:
         bundle = load_npz_streams(scan_src)
     else:
         if odom_src is None:
             raise ValueError("CSV input needs both a scan CSV and an odometry CSV")
         bundle = load_csv_streams(scan_src, odom_src, gt_src)
+    if num_beams is None or range_max is None:
+        raise ValueError(
+            "num_beams/range_max=None (keep recorded geometry) is only "
+            "valid for .bag input"
+        )
     seq = align_streams(
         bundle,
         num_beams=num_beams,
@@ -249,26 +316,43 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         description="Convert recorded scan/odometry streams to a sequence log"
     )
-    p.add_argument("scan", help="scan CSV (stamp,ranges...) or a streams .npz")
+    p.add_argument(
+        "scan",
+        help="a ROS1 .bag, a scan CSV (stamp,ranges...), or a streams .npz",
+    )
     p.add_argument("out", help="output log path (.dsl or .npz)")
     p.add_argument("--odom", help="odometry CSV (stamp,x,y,theta|qz,qw)")
     p.add_argument("--gt", help="ground-truth CSV (same columns as --odom)")
-    p.add_argument("--beams", type=int, default=1024)
-    p.add_argument("--range-max", type=float, default=10.0)
+    p.add_argument(
+        "--beams", type=int, default=None,
+        help="target beam count (default: recorded geometry for .bag, "
+        "1024 otherwise)",
+    )
+    p.add_argument(
+        "--range-max", type=float, default=None,
+        help="range_max (default: recorded for .bag, 10.0 otherwise)",
+    )
     p.add_argument("--start", type=float, help="window start (s, relative or absolute)")
     p.add_argument("--duration", type=float, help="window length (s)")
     p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--scan-topic", help=".bag only: LaserScan topic")
+    p.add_argument("--odom-topic", help=".bag only: Odometry topic")
+    p.add_argument("--gt-topic", help=".bag only: ground-truth Odometry topic")
     args = p.parse_args(argv)
+    is_bag = pathlib.Path(args.scan).suffix == ".bag"
     seq = convert(
         args.scan,
         args.odom,
         args.out,
-        num_beams=args.beams,
-        range_max=args.range_max,
+        num_beams=args.beams if (args.beams or is_bag) else 1024,
+        range_max=args.range_max if (args.range_max or is_bag) else 10.0,
         gt_src=args.gt,
         t_start=args.start,
         duration=args.duration,
         stride=args.stride,
+        scan_topic=args.scan_topic,
+        odom_topic=args.odom_topic,
+        gt_topic=args.gt_topic,
     )
     print(
         f"wrote {args.out}: {seq.scans.shape[0]} timesteps x "

@@ -25,7 +25,7 @@ import numpy as np
 
 from dpg_slam_tpu.io.dataset import Sequence
 
-__all__ = ["SessionSpec", "Suite", "builtin_suites", "load_suite", "materialize"]
+__all__ = ["SessionSpec", "Suite", "builtin_suites", "load_suite", "load_suite_file", "materialize"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,12 +56,17 @@ class SessionSpec:
 class Suite:
     """A named experiment: sessions plus per-suite config overrides
     (the setGdcRosParams/setMitRosParams analog — overrides are applied
-    to PoseGraphParams/DpgParams fields by name)."""
+    to ScanParams/PoseGraphParams/DpgParams fields by name).
+
+    scan_overrides exist for recorded-data suites whose sensor geometry
+    differs from the config default (e.g. a 181-beam SICK at +-90 deg on
+    the MIT B21 vs the 1024-beam Hokuyo-like default)."""
 
     name: str
     sessions: tuple
     pose_graph_overrides: tuple = ()   # ((field, value), ...)
     dpg_overrides: tuple = ()
+    scan_overrides: tuple = ()
     description: str = ""
 
 
@@ -124,10 +129,70 @@ def builtin_suites() -> dict[str, Suite]:
 
 
 def load_suite(name: str) -> Suite:
+    """Resolve a suite by builtin name, or load a suite MANIFEST file
+    (path ending in .json) that binds converted recorded-data logs into
+    a multi-pass experiment — the declarative analog of the reference
+    runner's hard-coded bag lists (dpg_data_runner_main.cc:95-128).
+
+    Manifest schema (all override blocks optional)::
+
+        {"name": "b21", "description": "...",
+         "sessions": [
+             {"log": "pass0.npz", "start_s": 0.0, "duration_s": null,
+              "stride": 1, "nominal_rate_hz": 10.0},
+             ...],
+         "scan_overrides": {"num_beams": 181,
+                            "angle_min": -1.5708, "angle_max": 1.5708},
+         "pose_graph_overrides": {"laser_x_in_bl_frame": 0.0},
+         "dpg_overrides": {}}
+
+    Relative log paths resolve against the manifest's directory. Session
+    order defines pass order (one session = one pass).
+    """
+    if str(name).endswith(".json"):
+        return load_suite_file(name)
     suites = builtin_suites()
     if name not in suites:
-        raise KeyError(f"unknown suite {name!r}; have {sorted(suites)}")
+        raise KeyError(
+            f"unknown suite {name!r}; have {sorted(suites)} "
+            "(or pass a path to a .json suite manifest)"
+        )
     return suites[name]
+
+
+def load_suite_file(path: str | pathlib.Path) -> Suite:
+    """Load a recorded-data suite manifest (see load_suite docstring)."""
+    import json
+
+    path = pathlib.Path(path)
+    spec = json.loads(path.read_text())
+    sessions = []
+    for s in spec.get("sessions", []):
+        if "log" not in s:
+            raise ValueError(f"{path}: every manifest session needs a 'log'")
+        log = pathlib.Path(s["log"])
+        if not log.is_absolute():
+            log = path.parent / log
+        kwargs = {
+            k: s[k]
+            for k in ("start_s", "duration_s", "stride", "nominal_rate_hz", "seed")
+            if k in s
+        }
+        sessions.append(SessionSpec(log=str(log), scenario=None, **kwargs))
+    if not sessions:
+        raise ValueError(f"{path}: manifest has no sessions")
+
+    def items(block):
+        return tuple(spec.get(block, {}).items())
+
+    return Suite(
+        name=spec.get("name", path.stem),
+        description=spec.get("description", f"manifest suite from {path}"),
+        sessions=tuple(sessions),
+        pose_graph_overrides=items("pose_graph_overrides"),
+        dpg_overrides=items("dpg_overrides"),
+        scan_overrides=items("scan_overrides"),
+    )
 
 
 def apply_overrides(cfg, suite: Suite):
@@ -136,7 +201,8 @@ def apply_overrides(cfg, suite: Suite):
 
     pg = dc.replace(cfg.pose_graph, **dict(suite.pose_graph_overrides))
     dpg = dc.replace(cfg.dpg, **dict(suite.dpg_overrides))
-    return dc.replace(cfg, pose_graph=pg, dpg=dpg)
+    sc = dc.replace(cfg.scan, **dict(suite.scan_overrides))
+    return dc.replace(cfg, pose_graph=pg, dpg=dpg, scan=sc)
 
 
 def _window(seq: Sequence, spec: SessionSpec) -> Sequence:

@@ -17,7 +17,13 @@ intermediate in VMEM:
     f32) and the (n, m) right-hand-side panel (m = 3 * separator cap + 1)
     stay resident in VMEM across all three phases; XLA's equivalent
     (cho_factor -> cho_solve -> cho_solve) round-trips them through HBM
-    between kernels;
+    between kernels. Measured (BENCH_r03): at n=768, m=385 the compiled
+    kernel runs ~30 ms vs ~23 ms for the XLA path on the real chip —
+    the 3n sequential fori steps (each a full-matrix masked pass)
+    dominate both, and the unblocked kernel does NOT yet beat XLA's
+    blocked Cholesky; a 128-column panel-blocked variant (MXU trailing
+    updates) is the known path to a win. distributed_reoptimize keeps
+    the XLA solve as its default accordingly;
   * factorization is unblocked right-looking Cholesky: n fori steps, each
     one masked (n, n) rank-1 VPU update (columns are extracted with
     dynamic slices, masking replaces the triangular loop bounds Pallas
@@ -49,18 +55,33 @@ def _eliminate(A: jnp.ndarray, B: jnp.ndarray, *, n: int, m: int) -> jnp.ndarray
     """The kernel body as a pure function: masked unblocked Cholesky +
     forward/backward triangular solves. Shared verbatim by the Mosaic
     kernel and the interpreter path (schur_solve on CPU backends), so the
-    two are the same algorithm by construction."""
+    two are the same algorithm by construction.
+
+    Mosaic constraint (hard-won): dynamic_slice on loop-carried VALUES is
+    not lowered for TPU Pallas (only ref indexing is), so every row /
+    column / pivot extraction here is expressed as a masked-iota
+    reduction or a one-hot dot_general — both lower cleanly and stay
+    VMEM-resident.
+    """
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     rown = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    coln = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
 
     # --- Cholesky: after step j, column j of A holds L[:, j] (rows >= j).
+    # The trailing submatrix (rows >= j, cols >= j) stays symmetric at
+    # every step, so column j (rows >= j) and row j (cols >= j) are
+    # transposes of each other — extracted independently to avoid an
+    # in-kernel (n,1)->(1,n) relayout.
     def chol_step(j, A):
-        dj = jax.lax.dynamic_slice(A, (j, j), (1, 1))         # (1, 1)
+        dj = jnp.sum(jnp.where((row == j) & (col == j), A, 0.0))
         inv = jax.lax.rsqrt(jnp.maximum(dj, 1e-30))
-        colj = jax.lax.dynamic_slice(A, (0, j), (n, 1)) * inv  # (n, 1)
-        colj = jnp.where(rown >= j, colj, 0.0)
-        update = A - colj * colj.reshape(1, n)                # masked rank-1
+        colj = jnp.sum(jnp.where(col == j, A, 0.0), axis=1, keepdims=True) * inv
+        colj = jnp.where(rown >= j, colj, 0.0)                 # (n, 1)
+        rowj = jnp.sum(jnp.where(row == j, A, 0.0), axis=0, keepdims=True) * inv
+        rowj = jnp.where(coln >= j, rowj, 0.0)                 # (1, n)
+        update = A - colj * rowj                               # masked rank-1
         return jnp.where(
             col == j, colj, jnp.where((row > j) & (col > j), update, A)
         )
@@ -70,25 +91,33 @@ def _eliminate(A: jnp.ndarray, B: jnp.ndarray, *, n: int, m: int) -> jnp.ndarray
     ldiag = jnp.sum(jnp.where(row == col, L, 0.0), axis=1, keepdims=True)  # (n, 1)
     inv_diag = 1.0 / jnp.maximum(ldiag, 1e-30)
 
+    def _scalar_at(vec_n1, j):
+        return jnp.sum(jnp.where(rown == j, vec_n1, 0.0))
+
     # --- forward solve L Y = B.
     def fwd_step(j, Y):
-        inv_j = jax.lax.dynamic_slice(inv_diag, (j, 0), (1, 1))
-        yj = jax.lax.dynamic_slice(Y, (j, 0), (1, m)) * inv_j  # (1, m)
-        colj = jax.lax.dynamic_slice(L, (0, j), (n, 1))        # (n, 1)
+        inv_j = _scalar_at(inv_diag, j)
+        yj = jnp.sum(jnp.where(rowm == j, Y, 0.0), axis=0, keepdims=True) * inv_j
+        colj = jnp.sum(jnp.where(col == j, L, 0.0), axis=1, keepdims=True)
         return jnp.where(
-            rown == j, yj, jnp.where(rown > j, Y - colj * yj, Y)
+            rowm == j, yj, jnp.where(rowm > j, Y - colj * yj, Y)
         )
 
     Y = jax.lax.fori_loop(0, n, fwd_step, B)
 
-    # --- backward solve L^T X = Y (L^T's column j is L's row j).
+    # --- backward solve L^T X = Y (L^T's column j is L's row j, fetched
+    # as a column vector via a one-hot contraction over L's row axis).
     def bwd_step(k, X):
         j = n - 1 - k
-        inv_j = jax.lax.dynamic_slice(inv_diag, (j, 0), (1, 1))
-        xj = jax.lax.dynamic_slice(X, (j, 0), (1, m)) * inv_j
-        rowj = jax.lax.dynamic_slice(L, (j, 0), (1, n)).reshape(n, 1)
+        inv_j = _scalar_at(inv_diag, j)
+        xj = jnp.sum(jnp.where(rowm == j, X, 0.0), axis=0, keepdims=True) * inv_j
+        ej = (rown == j).astype(L.dtype)                       # (n, 1)
+        rowj = jax.lax.dot_general(
+            L, ej, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # (n, 1) = L^T e_j
         return jnp.where(
-            rown == j, xj, jnp.where(rown < j, X - rowj * xj, X)
+            rowm == j, xj, jnp.where(rowm < j, X - rowj * xj, X)
         )
 
     return jax.lax.fori_loop(0, n, bwd_step, Y)

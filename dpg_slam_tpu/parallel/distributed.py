@@ -242,7 +242,10 @@ def distributed_solve(
     return sharded(poses, edge_idx, edge_meas, edge_sqrt_info, edge_mask)
 
 
-def distributed_reoptimize(mesh: Mesh, cfg, state, solver: str = "auto"):
+def distributed_reoptimize(
+    mesh: Mesh, cfg, state, solver: str = "auto",
+    pallas_elimination: bool = False,
+):
     """Multi-chip pass-boundary reoptimize (the most expensive operation in
     the system — the reference's serial O(N^2) loop, dpg_slam.cc:35-120):
 
@@ -252,9 +255,12 @@ def distributed_reoptimize(mesh: Mesh, cfg, state, solver: str = "auto"):
       3. distributed solve with work sharded over the mesh. ``solver``:
          * "schur" — submap Schur elimination (parallel/schur.py) over a
            SPATIAL node partition (parallel/partition.py), ONE psum of the
-           reduced separator system per GN iteration; the interior
-           elimination runs as the fused Pallas kernel
-           (ops/schur_pallas.py; interpreter on non-TPU backends).
+           reduced separator system per GN iteration. The interior
+           elimination defaults to XLA cho_factor/cho_solve — measured
+           faster than the fused Pallas kernel at production sizes
+           (BENCH_r03: ~23 vs ~30 ms at n=768; the unblocked kernel's
+           3n sequential steps dominate). pallas_elimination=True routes
+           it through ops/schur_pallas.py (interpreter on non-TPU).
          * "cg" — edge-sharded distributed PCG (one psum per CG matvec;
            communication-heavier but separator-free).
          * "auto" — Schur when every shard gets >= 4 interior node slots
@@ -338,7 +344,7 @@ def distributed_reoptimize(mesh: Mesh, cfg, state, solver: str = "auto"):
             jnp.asarray(assign),
             sep_cap=sep_cap,
             max_iterations=pg.gn_max_iterations,
-            pallas_elimination=True,
+            pallas_elimination=pallas_elimination,
             pallas_interpret=jax.default_backend() not in ("tpu", "axon"),
         )
         if int(sep_count) > sep_cap:

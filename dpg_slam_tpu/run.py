@@ -101,7 +101,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--dataset", default="synthetic", choices=["synthetic"])
     parser.add_argument("--suite", default=None,
-                        help="named benchmark suite (gdc | mit) — the "
+                        help="named benchmark suite (gdc | mit) or a path to a .json suite manifest binding converted recorded-data logs — the "
                              "runOnGdcRosBags/runOnMitRosBags analog")
     parser.add_argument("--logs", nargs="*", default=None,
                         help="sequence logs (.npz/.dsl), one per pass")

@@ -108,6 +108,7 @@ def main():
             max_corr=pg.icp_max_correspondence_distance,
             reciprocal=pg.icp_use_reciprocal_correspondences,
             epsilon=pg.icp_maximum_transformation_epsilon,
+            censi=False,
             interpret=False,
         )
 
