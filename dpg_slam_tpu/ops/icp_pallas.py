@@ -61,6 +61,84 @@ _G = 8  # pairs per grid program (f32 sublane tile)
 _MASK_COORD = 1e4
 
 
+def _finish_iteration(
+    it, carry, mx, my, qx, qy, qnx, qny, wf, nn_d2,
+    *, sm, gate_mult, anneal_iters, epsilon, damping,
+):
+    """Shared per-iteration tail (all kernel variants): point-to-line
+    residuals, (G, 1) normal-equation reductions over the point axis,
+    damped cofactor 3x3 solve, step application, convergence freeze."""
+    ptx, pty, pth, active = carry[0], carry[1], carry[2], carry[3]
+
+    ex = mx - qx
+    ey = my - qy
+    r = qnx * ex + qny * ey
+    # d(R p)/dθ = (-(Rp)_y, (Rp)_x) with Rp = moved - t.
+    drx = -(my - pty)
+    dry = mx - ptx
+    nd = qnx * drx + qny * dry
+
+    nH00 = jnp.sum(wf * qnx * qnx, axis=1, keepdims=True)  # (G, 1)
+    nH01 = jnp.sum(wf * qnx * qny, axis=1, keepdims=True)
+    nH02 = jnp.sum(wf * qnx * nd, axis=1, keepdims=True)
+    nH11 = jnp.sum(wf * qny * qny, axis=1, keepdims=True)
+    nH12 = jnp.sum(wf * qny * nd, axis=1, keepdims=True)
+    nH22 = jnp.sum(wf * nd * nd, axis=1, keepdims=True)
+    g0 = jnp.sum(wf * qnx * r, axis=1, keepdims=True)
+    g1 = jnp.sum(wf * qny * r, axis=1, keepdims=True)
+    g2 = jnp.sum(wf * nd * r, axis=1, keepdims=True)
+
+    n_corr_f = jnp.sum(wf, axis=1, keepdims=True)          # (G, 1)
+    new_fitness = jnp.sum(wf * nn_d2, axis=1, keepdims=True) / jnp.maximum(
+        n_corr_f, 1.0
+    )
+
+    # Trace-relative damping (see ops/icp.py rationale).
+    tr = (nH00 + nH11 + nH22) / 3.0
+    lam = damping * jnp.maximum(tr, 1e-12)
+    a00 = nH00 + lam
+    a11 = nH11 + lam
+    a22 = nH22 + lam
+    a01, a02, a12 = nH01, nH02, nH12
+    # Cofactor inverse of the symmetric damped 3x3, per pair.
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    solvable = (n_corr_f >= 3.0) & (jnp.abs(det) > 1e-20)
+    inv_det = jnp.where(solvable, 1.0 / jnp.where(solvable, det, 1.0), 0.0)
+    d0 = (c00 * g0 + c01 * g1 + c02 * g2) * inv_det
+    d1 = (c01 * g0 + c11 * g1 + c12 * g2) * inv_det
+    d2_ = (c02 * g0 + c12 * g1 + c22 * g2) * inv_det
+
+    # `active` is carried as float 0/1 — an (G, 1) i1 vector in the
+    # loop carry fails Mosaic's scf.for legalization.
+    stepx = -d0 * active
+    stepy = -d1 * active
+    stept = -d2_ * active
+    new_tx = ptx + stepx
+    new_ty = pty + stepy
+    new_th = pth + stept
+    new_th = new_th - 2.0 * jnp.pi * jnp.round(new_th / (2.0 * jnp.pi))
+
+    step_sq = stepx * stepx + stepy * stepy + stept * stept
+    # Held through the last still-coarse iteration so exit stats are
+    # always at the fine gate (matches ops/icp.py).
+    annealing = (gate_mult > 1.0) & (it < anneal_iters)
+    still = (
+        ((active > 0.5) & (step_sq > epsilon)) | annealing
+    ).astype(jnp.float32)
+
+    return (
+        new_tx, new_ty, new_th, still,
+        a00, a01, a02, a11, a12, a22,
+        n_corr_f, new_fitness,
+    )
+
+
 def _kernel(
     src_x_ref,     # (G, P)  masked source points parked at -_MASK_COORD
     src_y_ref,     # (G, P)
@@ -81,6 +159,7 @@ def _kernel(
     epsilon: float,
     damping: float,
     censi: bool,
+    variant: str = "v2",
 ):
     G = _G
     sx = src_x_ref[:, :]
@@ -92,12 +171,63 @@ def _kernel(
     sm = smask_ref[:, :]
     gate_mult = seed_ref[:, 3:4]                       # (G, 1)
 
+    if variant == "mxu":
+        # Loop-invariant reduction matrix for the dot_general form:
+        # columns [1, tx, ty, nx, ny] so one mf read yields all five
+        # correspondence reductions.
+        vmat = jnp.stack(
+            [jnp.ones_like(tx), tx, ty, nx, ny,
+             jnp.zeros_like(tx), jnp.zeros_like(tx), jnp.zeros_like(tx)],
+            axis=-1,
+        )                                              # (G, P, 8)
+    if variant == "jt":
+        # Target-major loop invariants hoisted out of the iteration body:
+        # (G, P) -> (G, P, 1) moves the point axis from lanes to sublanes
+        # (a relayout); doing it once keeps the while body relayout-free.
+        txT = tx[:, :, None]                           # (G, Pj, 1)
+        tyT = ty[:, :, None]
+        nxT = nx[:, :, None]
+        nyT = ny[:, :, None]
+
     def body(it, carry):
         ptx, pty, pth, active, H00, H01, H02, H11, H12, H22, ncorr, fitness = carry
         c = jnp.cos(pth)                               # (G, 1)
         s = jnp.sin(pth)
         mx = c * sx - s * sy + ptx                     # (G, P)
         my = s * sx + c * sy + pty
+
+        if variant == "jt":
+            # Target-major (G, Pj, Pi) layout: every per-source reduction
+            # (row-min, count, the four correspondence averages — 6 of the
+            # 7 P^2 reductions per iteration) reduces over axis=1, which
+            # lowers to cross-vreg adds + a depth-3 sublane fold instead
+            # of a depth-7 lane fold per vreg. Only the (reciprocal)
+            # per-target col-min pays the lane-reduction path.
+            prog = jnp.maximum(0.0, 1.0 - it / anneal_iters)
+            mult = 1.0 + (gate_mult - 1.0) * prog      # (G, 1)
+            gate_sq = (max_corr * mult) ** 2
+            dx = mx[:, None, :] - txT                  # (G, Pj, Pi)
+            dy = my[:, None, :] - tyT
+            d2 = dx * dx + dy * dy
+            rowmin = jnp.min(d2, axis=1, keepdims=True)   # (G, 1, Pi)
+            match = (d2 <= rowmin) & (d2 <= gate_sq[:, :, None])
+            if reciprocal:
+                colmin = jnp.min(d2, axis=2, keepdims=True)  # (G, Pj, 1)
+                match = match & (d2 <= colmin)
+            mf = match.astype(jnp.float32)
+            row_cnt = jnp.sum(mf, axis=1)              # (G, Pi)
+            w = (row_cnt > 0.0) & (sm > 0.5)
+            wf = w.astype(jnp.float32)
+            inv_cnt = 1.0 / jnp.maximum(row_cnt, 1.0)
+            qx = jnp.sum(mf * txT, axis=1) * inv_cnt   # (G, Pi)
+            qy = jnp.sum(mf * tyT, axis=1) * inv_cnt
+            qnx = jnp.sum(mf * nxT, axis=1) * inv_cnt
+            qny = jnp.sum(mf * nyT, axis=1) * inv_cnt
+            return _finish_iteration(
+                it, carry, mx, my, qx, qy, qnx, qny, wf, rowmin[:, 0, :],
+                sm=sm, gate_mult=gate_mult,
+                anneal_iters=anneal_iters, epsilon=epsilon, damping=damping,
+            )
 
         dx = mx[:, :, None] - tx[:, None, :]           # (G, P, P)
         dy = my[:, :, None] - ty[:, None, :]
@@ -109,91 +239,66 @@ def _kernel(
         mult = 1.0 + (gate_mult - 1.0) * prog          # (G, 1)
         gate_sq = (max_corr * mult) ** 2
 
+        if variant == "recompute":
+            # Recompute the distances for the match pass from the (G, P)
+            # inputs instead of re-reading the materialized d2: trades
+            # VPU ALU (cheap) for a (G, P, P) VMEM sweep (the bound).
+            # Operand order differs from d2 above to defeat CSE.
+            dxr = mx[:, :, None] - tx[:, None, :]
+            dyr = my[:, :, None] - ty[:, None, :]
+            d2r = dyr * dyr + dxr * dxr
+        else:
+            d2r = d2
+
         # One fused P^2 pass: row-min AND (reciprocal) col-min AND gate.
-        match = (d2 <= rowmin) & (d2 <= gate_sq[:, :, None])
+        match = (d2r <= rowmin) & (d2r <= gate_sq[:, :, None])
         if reciprocal:
             colmin = jnp.min(d2, axis=1, keepdims=True)
-            match = match & (d2 <= colmin)
-        mf = match.astype(jnp.float32)
+            match = match & (d2r <= colmin)
+        if variant == "mf_bf16":
+            # mf is exactly 0/1 — bf16 representation is exact, halving
+            # the read traffic of the five reduction passes below.
+            mf = match.astype(jnp.bfloat16)
+        else:
+            mf = match.astype(jnp.float32)
 
-        row_cnt = jnp.sum(mf, axis=2)                  # (G, P)
-        w = (row_cnt > 0.0) & (sm > 0.5)
-        wf = w.astype(jnp.float32)
-        # Correspondence averages: reduce with mf, normalize at (G, P)
-        # (identical to the row-normalized matmul in ops/icp.py).
-        inv_cnt = 1.0 / jnp.maximum(row_cnt, 1.0)
-        qx = jnp.sum(mf * tx[:, None, :], axis=2) * inv_cnt   # (G, P)
-        qy = jnp.sum(mf * ty[:, None, :], axis=2) * inv_cnt
-        qnx = jnp.sum(mf * nx[:, None, :], axis=2) * inv_cnt
-        qny = jnp.sum(mf * ny[:, None, :], axis=2) * inv_cnt
+        if variant == "mxu":
+            red = jnp.stack(
+                [
+                    jax.lax.dot_general(
+                        mf[g], vmat[g],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    for g in range(G)
+                ],
+                axis=0,
+            )                                          # (G, P, 8)
+            row_cnt = red[..., 0]
+            inv_cnt = 1.0 / jnp.maximum(row_cnt, 1.0)
+            qx = red[..., 1] * inv_cnt
+            qy = red[..., 2] * inv_cnt
+            qnx = red[..., 3] * inv_cnt
+            qny = red[..., 4] * inv_cnt
+            w = (row_cnt > 0.0) & (sm > 0.5)
+            wf = w.astype(jnp.float32)
+        else:
+            row_cnt = jnp.sum(mf, axis=2, dtype=jnp.float32)   # (G, P)
+            w = (row_cnt > 0.0) & (sm > 0.5)
+            wf = w.astype(jnp.float32)
+            # Correspondence averages: reduce with mf, normalize at (G, P)
+            # (identical to the row-normalized matmul in ops/icp.py).
+            inv_cnt = 1.0 / jnp.maximum(row_cnt, 1.0)
+            qx = jnp.sum(mf * tx[:, None, :], axis=2) * inv_cnt   # (G, P)
+            qy = jnp.sum(mf * ty[:, None, :], axis=2) * inv_cnt
+            qnx = jnp.sum(mf * nx[:, None, :], axis=2) * inv_cnt
+            qny = jnp.sum(mf * ny[:, None, :], axis=2) * inv_cnt
 
-        ex = mx - qx
-        ey = my - qy
-        r = qnx * ex + qny * ey
-        # d(R p)/dθ = (-(Rp)_y, (Rp)_x) with Rp = moved - t.
-        drx = -(my - pty)
-        dry = mx - ptx
-        nd = qnx * drx + qny * dry
-
-        nH00 = jnp.sum(wf * qnx * qnx, axis=1, keepdims=True)  # (G, 1)
-        nH01 = jnp.sum(wf * qnx * qny, axis=1, keepdims=True)
-        nH02 = jnp.sum(wf * qnx * nd, axis=1, keepdims=True)
-        nH11 = jnp.sum(wf * qny * qny, axis=1, keepdims=True)
-        nH12 = jnp.sum(wf * qny * nd, axis=1, keepdims=True)
-        nH22 = jnp.sum(wf * nd * nd, axis=1, keepdims=True)
-        g0 = jnp.sum(wf * qnx * r, axis=1, keepdims=True)
-        g1 = jnp.sum(wf * qny * r, axis=1, keepdims=True)
-        g2 = jnp.sum(wf * nd * r, axis=1, keepdims=True)
-
-        n_corr_f = jnp.sum(wf, axis=1, keepdims=True)          # (G, 1)
-        nn_d2 = rowmin[:, :, 0]
-        new_fitness = jnp.sum(wf * nn_d2, axis=1, keepdims=True) / jnp.maximum(
-            n_corr_f, 1.0
-        )
-
-        # Trace-relative damping (see ops/icp.py rationale).
-        tr = (nH00 + nH11 + nH22) / 3.0
-        lam = damping * jnp.maximum(tr, 1e-12)
-        a00 = nH00 + lam
-        a11 = nH11 + lam
-        a22 = nH22 + lam
-        a01, a02, a12 = nH01, nH02, nH12
-        # Cofactor inverse of the symmetric damped 3x3, per pair.
-        c00 = a11 * a22 - a12 * a12
-        c01 = a02 * a12 - a01 * a22
-        c02 = a01 * a12 - a02 * a11
-        c11 = a00 * a22 - a02 * a02
-        c12 = a01 * a02 - a00 * a12
-        c22 = a00 * a11 - a01 * a01
-        det = a00 * c00 + a01 * c01 + a02 * c02
-        solvable = (n_corr_f >= 3.0) & (jnp.abs(det) > 1e-20)
-        inv_det = jnp.where(solvable, 1.0 / jnp.where(solvable, det, 1.0), 0.0)
-        d0 = (c00 * g0 + c01 * g1 + c02 * g2) * inv_det
-        d1 = (c01 * g0 + c11 * g1 + c12 * g2) * inv_det
-        d2_ = (c02 * g0 + c12 * g1 + c22 * g2) * inv_det
-
-        # `active` is carried as float 0/1 — an (G, 1) i1 vector in the
-        # loop carry fails Mosaic's scf.for legalization.
-        stepx = -d0 * active
-        stepy = -d1 * active
-        stept = -d2_ * active
-        new_tx = ptx + stepx
-        new_ty = pty + stepy
-        new_th = pth + stept
-        new_th = new_th - 2.0 * jnp.pi * jnp.round(new_th / (2.0 * jnp.pi))
-
-        step_sq = stepx * stepx + stepy * stepy + stept * stept
-        # Held through the last still-coarse iteration so exit stats are
-        # always at the fine gate (matches ops/icp.py).
-        annealing = (gate_mult > 1.0) & (it < anneal_iters)
-        still = (
-            ((active > 0.5) & (step_sq > epsilon)) | annealing
-        ).astype(jnp.float32)
-
-        return (
-            new_tx, new_ty, new_th, still,
-            a00, a01, a02, a11, a12, a22,
-            n_corr_f, new_fitness,
+        return _finish_iteration(
+            it, carry, mx, my, qx, qy, qnx, qny, wf, rowmin[:, :, 0],
+            sm=sm, gate_mult=gate_mult,
+            anneal_iters=anneal_iters, epsilon=epsilon, damping=damping,
         )
 
     ones = jnp.ones((G, 1), jnp.float32)
@@ -232,20 +337,37 @@ def _kernel(
         s = jnp.sin(fth)
         mx = c * sx - s * sy + ftx
         my = s * sx + c * sy + fty
-        dx = mx[:, :, None] - tx[:, None, :]
-        dy = my[:, :, None] - ty[:, None, :]
-        d2 = dx * dx + dy * dy
-        rowmin = jnp.min(d2, axis=2, keepdims=True)
-        match = (d2 <= rowmin) & (d2 <= max_corr * max_corr)
-        if reciprocal:
-            colmin = jnp.min(d2, axis=1, keepdims=True)
-            match = match & (d2 <= colmin)
-        mf = match.astype(jnp.float32)
-        row_cnt = jnp.sum(mf, axis=2)
-        wf = ((row_cnt > 0.0) & (sm > 0.5)).astype(jnp.float32)
-        inv_cnt = 1.0 / jnp.maximum(row_cnt, 1.0)
-        qx = jnp.sum(mf * tx[:, None, :], axis=2) * inv_cnt
-        qy = jnp.sum(mf * ty[:, None, :], axis=2) * inv_cnt
+        if variant == "jt":
+            # Same target-major layout as the iteration loop (see body).
+            dx = mx[:, None, :] - tx[:, :, None]       # (G, Pj, Pi)
+            dy = my[:, None, :] - ty[:, :, None]
+            d2 = dx * dx + dy * dy
+            rowmin = jnp.min(d2, axis=1, keepdims=True)
+            match = (d2 <= rowmin) & (d2 <= max_corr * max_corr)
+            if reciprocal:
+                colmin = jnp.min(d2, axis=2, keepdims=True)
+                match = match & (d2 <= colmin)
+            mf = match.astype(jnp.float32)
+            row_cnt = jnp.sum(mf, axis=1)              # (G, Pi)
+            wf = ((row_cnt > 0.0) & (sm > 0.5)).astype(jnp.float32)
+            inv_cnt = 1.0 / jnp.maximum(row_cnt, 1.0)
+            qx = jnp.sum(mf * tx[:, :, None], axis=1) * inv_cnt
+            qy = jnp.sum(mf * ty[:, :, None], axis=1) * inv_cnt
+        else:
+            dx = mx[:, :, None] - tx[:, None, :]
+            dy = my[:, :, None] - ty[:, None, :]
+            d2 = dx * dx + dy * dy
+            rowmin = jnp.min(d2, axis=2, keepdims=True)
+            match = (d2 <= rowmin) & (d2 <= max_corr * max_corr)
+            if reciprocal:
+                colmin = jnp.min(d2, axis=1, keepdims=True)
+                match = match & (d2 <= colmin)
+            mf = match.astype(jnp.float32)
+            row_cnt = jnp.sum(mf, axis=2)
+            wf = ((row_cnt > 0.0) & (sm > 0.5)).astype(jnp.float32)
+            inv_cnt = 1.0 / jnp.maximum(row_cnt, 1.0)
+            qx = jnp.sum(mf * tx[:, None, :], axis=2) * inv_cnt
+            qy = jnp.sum(mf * ty[:, None, :], axis=2) * inv_cnt
         rx = (mx - qx) * wf                       # residual r (weighted)
         ry = (my - qy) * wf
         rpx = mx - ftx                            # R p
@@ -281,12 +403,13 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "max_iterations", "max_corr", "reciprocal", "epsilon", "censi",
-        "interpret",
+        "interpret", "variant",
     ),
 )
 def _run_kernel(
     planes, seeds,
     *, max_iterations, max_corr, reciprocal, epsilon, censi, interpret,
+    variant="v2",
 ):
     B, P = planes[0].shape
     assert B % _G == 0
@@ -301,6 +424,7 @@ def _run_kernel(
         epsilon=epsilon,
         damping=1e-3,
         censi=censi,
+        variant=variant,
     )
     plane_spec = pl.BlockSpec((_G, P), lambda b: (b, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(

@@ -2,8 +2,13 @@
 session: compacted+sorted live pairs, iteration histogram, variant timing.
 
 Run: timeout 580 python tools/kbench.py
+Env: BENCH_SESSION (checkpoint dir, default bench_assets/session),
+     KBENCH_VARIANTS (comma list of _run_kernel variants, default v2),
+     KBENCH_ITERS (comma list of max_iterations, default "<config>,15"),
+     KBENCH_JSON (path: append one JSON line per measurement).
 """
 
+import json
 import os
 import sys
 import time
@@ -58,7 +63,8 @@ def timed(fn, *args, repeats=12):
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    eng = load_checkpoint(os.environ.get("BENCH_SESSION", "/tmp/bench_session"))
+    eng = load_checkpoint(
+        os.environ.get("BENCH_SESSION", "bench_assets/session"))
     state = eng.state
     nb = eng._solve_bucket(int(state.num_nodes))
     node_fields = (
@@ -87,7 +93,7 @@ def main():
     lseed = jnp.asarray(seeds[idx])
     lgate = jnp.asarray(flat_gate[idx])
 
-    def run(sub, lsrc, ltgt, lval, lseed, lgate, max_iters):
+    def run(sub, lsrc, ltgt, lval, lseed, lgate, max_iters, variant="v2"):
         src = sub.cloud[lsrc]
         smask = sub.cloud_mask[lsrc] & lval[:, None]
         tgt = sub.cloud[ltgt]
@@ -110,22 +116,62 @@ def main():
             epsilon=pg.icp_maximum_transformation_epsilon,
             censi=False,
             interpret=False,
+            variant=variant,
         )
 
-    for iters in (pg.icp_maximum_iterations, 15):
-        f = jax.jit(lambda *a, it=iters: run(*a, max_iters=it))
-        t, tc, out = timed(f, sub, lsrc, ltgt, lval, lseed, lgate)
-        blk_iters = np.asarray(out[:, 11]).reshape(-1, icp_pallas._G)[:, 0]
-        print(
-            f"v2 kernel B={B} max_iters={iters}: {t*1e3:.2f} ms raw, "
-            f"{tc*1e3:.2f} ms canary-corrected  "
-            f"({tc/max(len(live),1)*1e6:.1f} us/live pair; "
-            f"block-iter sum {blk_iters.sum():.0f}, "
-            f"us/block-iter {tc*1e6/max(blk_iters.sum(),1):.1f})",
-            flush=True,
-        )
-        h = np.percentile(blk_iters, [0, 25, 50, 75, 100])
-        print(f"  block iters pct [0/25/50/75/100]: {h}", flush=True)
+    variants = os.environ.get("KBENCH_VARIANTS", "v2").split(",")
+    iters_list = tuple(
+        int(s) for s in os.environ.get(
+            "KBENCH_ITERS", f"{pg.icp_maximum_iterations},15").split(",")
+    )
+    ref_out = None
+    for variant in variants:
+        for iters in iters_list:
+            f = jax.jit(
+                lambda *a, it=iters, v=variant: run(*a, max_iters=it, variant=v)
+            )
+            try:
+                t, tc, out = timed(f, sub, lsrc, ltgt, lval, lseed, lgate)
+            except Exception as e:  # a variant failing to Mosaic-compile
+                print(f"{variant} max_iters={iters}: FAILED {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:160]}", flush=True)
+                continue
+            blk_iters = np.asarray(out[:, 11]).reshape(-1, icp_pallas._G)[:, 0]
+            if iters == pg.icp_maximum_iterations:
+                if ref_out is None:
+                    ref_out = np.asarray(out[:, 0:3])
+                dev = float(np.max(np.abs(np.asarray(out[:, 0:3]) - ref_out)))
+            else:
+                dev = float("nan")
+            print(
+                f"{variant} kernel B={B} max_iters={iters}: {t*1e3:.2f} ms raw, "
+                f"{tc*1e3:.2f} ms canary-corrected  "
+                f"({tc/max(len(live),1)*1e6:.1f} us/live pair; "
+                f"block-iter sum {blk_iters.sum():.0f}, "
+                f"us/block-iter {tc*1e6/max(blk_iters.sum(),1):.1f}; "
+                f"dev vs first variant {dev:.2e})",
+                flush=True,
+            )
+            h = np.percentile(blk_iters, [0, 25, 50, 75, 100])
+            print(f"  block iters pct [0/25/50/75/100]: {h}", flush=True)
+            jpath = os.environ.get("KBENCH_JSON")
+            if jpath:
+                with open(jpath, "a") as fh:
+                    fh.write(json.dumps({
+                        "variant": variant,
+                        "max_iters": iters,
+                        "B": B,
+                        "live_pairs": int(len(live)),
+                        "ms_raw": round(t * 1e3, 2),
+                        "ms_canary_corrected": round(tc * 1e3, 2),
+                        "us_per_live_pair": round(tc / max(len(live), 1) * 1e6, 2),
+                        "block_iter_sum": int(blk_iters.sum()),
+                        "us_per_block_iter": round(
+                            tc * 1e6 / max(blk_iters.sum(), 1), 2),
+                        "block_iter_pct_0_25_50_75_100": [float(x) for x in h],
+                        "transform_dev_vs_first_variant": None
+                        if np.isnan(dev) else float(f"{dev:.3e}"),
+                    }) + "\n")
 
 
 if __name__ == "__main__":

@@ -40,8 +40,10 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     cfg = bench._bench_config()
     t0 = time.perf_counter()
-    eng = bench.build_two_pass_session(cfg)
-    print(f"session built in {time.perf_counter()-t0:.1f}s, "
+    # Committed fixture (bench_assets/session) when its config matches;
+    # CPU-subprocess build otherwise — never a rebuild over the TPU relay.
+    eng = bench._build_session_on_cpu(t0)
+    print(f"session ready in {time.perf_counter()-t0:.1f}s, "
           f"nodes={eng.num_nodes()}", flush=True)
 
     state = eng.state
