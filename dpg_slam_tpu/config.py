@@ -77,8 +77,9 @@ class PoseGraphParams:
     # kernel (ops/icp_pallas.py); False uses the XLA array program. Both
     # produce the same results (tests/test_icp_pallas.py; real-chip
     # deviation recorded per round in BENCH_r*.json). The engine enables
-    # it on TPU for the compacted reoptimize sweep; the v2 kernel cut
-    # device time ~6x vs v1 (commit 391ea53, measured via tools/kbench).
+    # it on TPU for the compacted reoptimize sweep; kernel generations on
+    # that sweep (tools/kbench, KBENCH_r03.json): v1 ~100 us/block-iter,
+    # v2 (fused passes) 16.8, v3 (target-major reduction layout) 2.3.
     icp_coarse_gate_multiplier: float = 3.0
     reoptimize_gate_multiplier: float = 1.0
     # Gate multiplier for REOPTIMIZE loop-closure pairs. Unlike online

@@ -16,8 +16,8 @@ for a block of pairs per grid program with every intermediate in VMEM:
   * per-pair convergence freezing and coarse-to-fine gate annealing match
     ops/icp.py semantics exactly.
 
-Pass-count discipline (the VPU roofline for this op is the number of
-P^2-element sweeps per iteration):
+Pass-count discipline (~9 P^2-element sweeps per iteration vs ~20 in the
+v1 kernel):
 
   * validity is folded into the COORDINATES (masked source points sit at
     -1e4, masked targets at +1e4, so every masked distance is >= ~1e7 —
@@ -29,10 +29,28 @@ P^2-element sweeps per iteration):
     (algebraically identical to ops/icp.py's row-normalized form);
   * the nearest-neighbor distance reuses rowmin (no second min sweep).
 
-That is ~9 P^2 passes/iteration vs ~20 in the v1 kernel. Per-block (G=8)
-early exit remains; callers maximize it by sorting compacted pair lists
-so fast-converging (well-seeded successive) pairs share blocks
-(engine._reoptimize_now).
+REDUCTION-AXIS discipline (the dominant term — measured on the 1721-pair
+reoptimize sweep, KBENCH_r03.json): the kernel is op-issue bound on its
+reductions, not VMEM-bandwidth bound. Six of the seven P^2 reductions
+per iteration (row-min, match count, the four correspondence averages)
+are per-SOURCE-point; in a source-major (G, Pi, Pj) layout each lowers
+to a depth-7 lane fold per vreg, ~4x the cost of an elementwise sweep.
+The production layout is therefore target-major (G, Pj, Pi) ("jt"): the
+same six reductions become cross-vreg adds plus a depth-3 sublane fold,
+and only the reciprocal col-min pays the lane path. Measured: 16.8
+us/block-iter source-major -> 2.3 us/block-iter target-major (7.4x,
+bit-identical outputs on device). Variants evaluated and rejected on
+the same sweep (all within noise or worse): bf16 match-matrix storage
+(16.7 — traffic is not the bound), defeating d2 CSE via recompute
+(16.9), MXU dot_general for the five reductions (20.4 — f32-precision
+matmul passes cost more than the lane folds they replace). The
+loop-invariant (G, P) -> (G, P, 1) relayouts of the target planes are
+hoisted out of the while body; inside the body they sent the Mosaic
+compile pathological (>9 min, never returned).
+
+Per-block (G=8) early exit remains; callers maximize it by sorting
+compacted pair lists so fast-converging (well-seeded successive) pairs
+share blocks (engine._reoptimize_now).
 
 Semantics parity with ops/icp.py is pinned by tests/test_icp_pallas.py
 (interpret mode on CPU); the real Mosaic path is exercised on TPU by
@@ -159,7 +177,7 @@ def _kernel(
     epsilon: float,
     damping: float,
     censi: bool,
-    variant: str = "v2",
+    variant: str = "jt",
 ):
     G = _G
     sx = src_x_ref[:, :]
@@ -171,15 +189,6 @@ def _kernel(
     sm = smask_ref[:, :]
     gate_mult = seed_ref[:, 3:4]                       # (G, 1)
 
-    if variant == "mxu":
-        # Loop-invariant reduction matrix for the dot_general form:
-        # columns [1, tx, ty, nx, ny] so one mf read yields all five
-        # correspondence reductions.
-        vmat = jnp.stack(
-            [jnp.ones_like(tx), tx, ty, nx, ny,
-             jnp.zeros_like(tx), jnp.zeros_like(tx), jnp.zeros_like(tx)],
-            axis=-1,
-        )                                              # (G, P, 8)
     if variant == "jt":
         # Target-major loop invariants hoisted out of the iteration body:
         # (G, P) -> (G, P, 1) moves the point axis from lanes to sublanes
@@ -239,61 +248,23 @@ def _kernel(
         mult = 1.0 + (gate_mult - 1.0) * prog          # (G, 1)
         gate_sq = (max_corr * mult) ** 2
 
-        if variant == "recompute":
-            # Recompute the distances for the match pass from the (G, P)
-            # inputs instead of re-reading the materialized d2: trades
-            # VPU ALU (cheap) for a (G, P, P) VMEM sweep (the bound).
-            # Operand order differs from d2 above to defeat CSE.
-            dxr = mx[:, :, None] - tx[:, None, :]
-            dyr = my[:, :, None] - ty[:, None, :]
-            d2r = dyr * dyr + dxr * dxr
-        else:
-            d2r = d2
-
         # One fused P^2 pass: row-min AND (reciprocal) col-min AND gate.
-        match = (d2r <= rowmin) & (d2r <= gate_sq[:, :, None])
+        match = (d2 <= rowmin) & (d2 <= gate_sq[:, :, None])
         if reciprocal:
             colmin = jnp.min(d2, axis=1, keepdims=True)
-            match = match & (d2r <= colmin)
-        if variant == "mf_bf16":
-            # mf is exactly 0/1 — bf16 representation is exact, halving
-            # the read traffic of the five reduction passes below.
-            mf = match.astype(jnp.bfloat16)
-        else:
-            mf = match.astype(jnp.float32)
+            match = match & (d2 <= colmin)
+        mf = match.astype(jnp.float32)
 
-        if variant == "mxu":
-            red = jnp.stack(
-                [
-                    jax.lax.dot_general(
-                        mf[g], vmat[g],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    for g in range(G)
-                ],
-                axis=0,
-            )                                          # (G, P, 8)
-            row_cnt = red[..., 0]
-            inv_cnt = 1.0 / jnp.maximum(row_cnt, 1.0)
-            qx = red[..., 1] * inv_cnt
-            qy = red[..., 2] * inv_cnt
-            qnx = red[..., 3] * inv_cnt
-            qny = red[..., 4] * inv_cnt
-            w = (row_cnt > 0.0) & (sm > 0.5)
-            wf = w.astype(jnp.float32)
-        else:
-            row_cnt = jnp.sum(mf, axis=2, dtype=jnp.float32)   # (G, P)
-            w = (row_cnt > 0.0) & (sm > 0.5)
-            wf = w.astype(jnp.float32)
-            # Correspondence averages: reduce with mf, normalize at (G, P)
-            # (identical to the row-normalized matmul in ops/icp.py).
-            inv_cnt = 1.0 / jnp.maximum(row_cnt, 1.0)
-            qx = jnp.sum(mf * tx[:, None, :], axis=2) * inv_cnt   # (G, P)
-            qy = jnp.sum(mf * ty[:, None, :], axis=2) * inv_cnt
-            qnx = jnp.sum(mf * nx[:, None, :], axis=2) * inv_cnt
-            qny = jnp.sum(mf * ny[:, None, :], axis=2) * inv_cnt
+        row_cnt = jnp.sum(mf, axis=2, dtype=jnp.float32)   # (G, P)
+        w = (row_cnt > 0.0) & (sm > 0.5)
+        wf = w.astype(jnp.float32)
+        # Correspondence averages: reduce with mf, normalize at (G, P)
+        # (identical to the row-normalized matmul in ops/icp.py).
+        inv_cnt = 1.0 / jnp.maximum(row_cnt, 1.0)
+        qx = jnp.sum(mf * tx[:, None, :], axis=2) * inv_cnt   # (G, P)
+        qy = jnp.sum(mf * ty[:, None, :], axis=2) * inv_cnt
+        qnx = jnp.sum(mf * nx[:, None, :], axis=2) * inv_cnt
+        qny = jnp.sum(mf * ny[:, None, :], axis=2) * inv_cnt
 
         return _finish_iteration(
             it, carry, mx, my, qx, qy, qnx, qny, wf, rowmin[:, :, 0],
@@ -409,7 +380,7 @@ def _kernel(
 def _run_kernel(
     planes, seeds,
     *, max_iterations, max_corr, reciprocal, epsilon, censi, interpret,
-    variant="v2",
+    variant="jt",
 ):
     B, P = planes[0].shape
     assert B % _G == 0

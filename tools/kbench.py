@@ -119,7 +119,7 @@ def main():
             variant=variant,
         )
 
-    variants = os.environ.get("KBENCH_VARIANTS", "v2").split(",")
+    variants = os.environ.get("KBENCH_VARIANTS", "jt").split(",")
     iters_list = tuple(
         int(s) for s in os.environ.get(
             "KBENCH_ITERS", f"{pg.icp_maximum_iterations},15").split(",")
@@ -167,7 +167,7 @@ def main():
                         "us_per_live_pair": round(tc / max(len(live), 1) * 1e6, 2),
                         "block_iter_sum": int(blk_iters.sum()),
                         "us_per_block_iter": round(
-                            tc * 1e6 / max(blk_iters.sum(), 1), 2),
+                            float(tc * 1e6 / max(blk_iters.sum(), 1)), 2),
                         "block_iter_pct_0_25_50_75_100": [float(x) for x in h],
                         "transform_dev_vs_first_variant": None
                         if np.isnan(dev) else float(f"{dev:.3e}"),
