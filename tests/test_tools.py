@@ -1,0 +1,72 @@
+"""Smoke tests for the tools/ measurement scripts.
+
+These scripts produce the committed evidence artifacts (KBENCH_r*.json,
+the profile decompositions behind BENCH_r* numbers). The TPU-only timing
+sweeps can't run in CI, but the shared plumbing can: canary-corrected
+timing, committed-fixture loading, and the native-baseline measurement
+path (cpu_baseline_time runs end-to-end here).
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:  # pragma: no cover
+    sys.path.insert(0, str(REPO))
+
+from tools import _common  # noqa: E402
+
+SESSION_FIX = REPO / "bench_assets" / "session"
+
+
+def test_timed_returns_positive_seconds():
+    calls = []
+
+    def fn(x):
+        calls.append(1)
+        return x * 2
+
+    t = _common.timed(fn, np.ones(4), repeats=3, sleep=0)
+    # warmup + 3 repeats; canary overhead can exceed the op cost on a
+    # fast host, so only sanity-bound the magnitude.
+    assert len(calls) == 4
+    assert t < 10.0
+
+
+def test_timed_detailed_matches_timed_contract():
+    t, tc, out = _common.timed_detailed(lambda x: x + 1, np.zeros(3), repeats=2, sleep=0)
+    assert t >= 0.0
+    assert tc <= t  # corrected subtracts a non-negative canary
+    np.testing.assert_array_equal(np.asarray(out), np.ones(3))
+
+
+@pytest.mark.skipif(not SESSION_FIX.exists(), reason="fixture not committed")
+def test_load_bench_session_default_is_committed_fixture():
+    assert _common.default_session_dir() == str(SESSION_FIX)
+    eng = _common.load_bench_session()
+    assert eng.num_nodes() > 100  # the two-pass bench session
+    assert np.isfinite(np.asarray(eng.state.poses[: eng.num_nodes()])).all()
+
+
+@pytest.mark.skipif(not SESSION_FIX.exists(), reason="fixture not committed")
+def test_cpu_baseline_time_runs(capsys):
+    """The C++-baseline measurement path end-to-end on the committed
+    session (the denominator of the headline vs_baseline number)."""
+    from dpg_slam_tpu.io.logs import native_lib
+
+    if native_lib() is None:
+        pytest.skip("native library not built (make -C native)")
+    from tools import cpu_baseline_time
+
+    old_argv = sys.argv
+    sys.argv = ["cpu_baseline_time"]
+    try:
+        cpu_baseline_time.main()
+    finally:
+        sys.argv = old_argv
+    outp = capsys.readouterr().out
+    assert "native C++ reoptimize:" in outp
+    assert "pairs" in outp

@@ -14,14 +14,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import numpy as np
-
 import bench
-from dpg_slam_tpu.utils.checkpoint import load_checkpoint
+from tools._common import load_bench_session
 
 
 def main():
-    eng = load_checkpoint(sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_session")
+    eng = load_bench_session(sys.argv[1] if len(sys.argv) > 1 else None)
     cfg = eng.config
     t0 = time.perf_counter()
     cpu_s, pairs = bench.bench_reoptimize_cpu(cfg, eng)

@@ -11,7 +11,6 @@ Env: BENCH_SESSION (checkpoint dir, default bench_assets/session),
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -21,50 +20,12 @@ import numpy as np
 
 from dpg_slam_tpu import engine as eng_mod
 from dpg_slam_tpu.ops import icp_pallas
-from dpg_slam_tpu.utils.checkpoint import load_checkpoint
-
-
-_canary_fn = None
-_canary_x = None
-
-
-def canary():
-    """Per-dispatch relay overhead right now (the tunnel has episodes where
-    EVERY dispatch costs ~25-30 ms; subtract this from measurements)."""
-    global _canary_fn, _canary_x
-    if _canary_fn is None:
-        _canary_x = jnp.ones((8,))
-        _canary_fn = jax.jit(lambda x: x * 2.0)
-        jax.block_until_ready(_canary_fn(_canary_x))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(_canary_fn(_canary_x))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def timed(fn, *args, repeats=12):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    best_corr = float("inf")
-    for _ in range(repeats):
-        c0 = canary()
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        best_corr = min(best_corr, dt - c0)
-        time.sleep(0.05)
-    return best, best_corr, out
+from tools._common import load_bench_session, timed_detailed
 
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    eng = load_checkpoint(
-        os.environ.get("BENCH_SESSION", "bench_assets/session"))
+    eng = load_bench_session()
     state = eng.state
     nb = eng._solve_bucket(int(state.num_nodes))
     node_fields = (
@@ -131,7 +92,7 @@ def main():
                 lambda *a, it=iters, v=variant: run(*a, max_iters=it, variant=v)
             )
             try:
-                t, tc, out = timed(f, sub, lsrc, ltgt, lval, lseed, lgate)
+                t, tc, out = timed_detailed(f, sub, lsrc, ltgt, lval, lseed, lgate)
             except Exception as e:  # a variant failing to Mosaic-compile
                 print(f"{variant} max_iters={iters}: FAILED {type(e).__name__}: "
                       f"{str(e).splitlines()[0][:160]}", flush=True)

@@ -15,45 +15,12 @@ import numpy as np
 
 from dpg_slam_tpu import engine as eng_mod
 from dpg_slam_tpu.ops import icp
-from dpg_slam_tpu.utils.checkpoint import load_checkpoint
-
-
-_canary = None
-
-
-def canary():
-    global _canary
-    if _canary is None:
-        f = jax.jit(lambda x: x * 2.0)
-        x = jnp.ones((8,))
-        jax.block_until_ready(f(x))
-        _canary = (f, x)
-    f, x = _canary
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(x))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def timed(fn, *args, repeats=12):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(repeats):
-        c0 = canary()
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0 - c0)
-        time.sleep(0.05)
-    return best
+from tools._common import load_bench_session, timed
 
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    eng = load_checkpoint(os.environ.get("BENCH_SESSION", "/tmp/bench_session"))
+    eng = load_bench_session()
     state = eng.state
     nb = eng._solve_bucket(int(state.num_nodes))
     node_fields = (
