@@ -70,11 +70,12 @@ def bench_tpu(cfg, eng, seq, t_start, n_steps=60):
     # same bucket per keyframe; hoisted here to avoid per-step host syncs).
     bucket = eng._solve_bucket(eng.num_nodes() + n_steps + 1)
     method = eng._incremental_method(bucket)  # the solver the engine runs
+    kcfg = eng._kernel_config()  # Pallas ICP frontend on real TPU
 
     def step(state, odom_pose, ranges):
-        state = eng_mod._observe_odometry(cfg, state, odom_pose)
+        state = eng_mod._observe_odometry(kcfg, state, odom_pose)
         return eng_mod._keyframe_step(
-            cfg, state, ranges, method, solve_bucket=bucket
+            kcfg, state, ranges, method, solve_bucket=bucket
         )
 
     # Warmup / compile (on a copy of the state; do not consume a scan).
@@ -106,13 +107,14 @@ def bench_tpu_offline(cfg, eng, seq, t_start, n_steps=60):
     n_steps = int(scans.shape[0])
     bucket = eng._solve_bucket(eng.num_nodes() + n_steps + 1)
     method = eng._incremental_method(bucket)
+    kcfg = eng._kernel_config()  # Pallas ICP frontend on real TPU
 
     @jax.jit
     def run(state, odom, scans):
         def body(s, x):
             o, r = x
-            s = eng_mod._observe_odometry(cfg, s, o)
-            s = eng_mod._keyframe_step(cfg, s, r, method, solve_bucket=bucket)
+            s = eng_mod._observe_odometry(kcfg, s, o)
+            s = eng_mod._keyframe_step(kcfg, s, r, method, solve_bucket=bucket)
             return s, 0
         s, _ = jax.lax.scan(body, state, (odom, scans))
         return s

@@ -923,6 +923,36 @@ def _reoptimize(
     return state._replace(poses=poses, graph=graph), n_edge_cand
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "solve_method", "nb")
+)
+def _reoptimize_sliced(
+    cfg: DpgConfig,
+    state: SlamState,
+    compact_idx: jnp.ndarray,
+    compact_valid: jnp.ndarray,
+    solve_method: str,
+    nb: int,
+) -> tuple[jnp.ndarray, object, jnp.ndarray]:
+    """_reoptimize on the live node bucket as ONE compiled program: slice
+    the node fields to the static bucket, run the compacted reoptimize,
+    and write the optimized bucket poses back into the full-capacity pose
+    array. Keeps the whole pass-boundary path at a single device dispatch
+    (see DpgSlamEngine._reoptimize_now). Returns (full-capacity poses,
+    graph, num edge candidates)."""
+    node_fields = (
+        "poses", "odom_poses", "pass_ids", "node_active",
+        "ranges", "labels", "sector_active", "cloud",
+        "cloud_mask", "cloud_normals",
+    )
+    sub = state._replace(**{f: getattr(state, f)[:nb] for f in node_fields})
+    new_sub, n_edge_cand = _reoptimize(
+        cfg, sub, compact_idx, compact_valid, solve_method
+    )
+    poses = jnp.concatenate([new_sub.poses, state.poses[nb:]], axis=0)
+    return poses, new_sub.graph, n_edge_cand
+
+
 # Per-config AOT-compiled DPG step. Under jax 0.9.0, once execute_dpg's
 # implementation has also been traced inside lax.cond/scan with other
 # configs, later jit executions of it intermittently mis-marshal their
@@ -994,22 +1024,34 @@ class DpgSlamEngine:
             b *= 2
         return min(b, cap)
 
-    def _reopt_config(self) -> DpgConfig:
-        """Config for the pass-boundary reoptimize: on real TPU hardware
-        the fused Pallas ICP kernel wins at reoptimize batch sizes (full
-        VMEM residency + per-block early exit); elsewhere (CPU tests,
-        interpret overhead) the XLA path stays."""
+    def _kernel_config(self) -> DpgConfig:
+        """Engine-chosen ICP execution path: on real TPU hardware the
+        fused Pallas kernel wins BOTH the pass-boundary reoptimize sweep
+        (full VMEM residency at ~thousand-pair batches) and the per-
+        keyframe (1+K)-pair frontend — the XLA form pays its
+        max_iterations as a latency-bound chain of small dispatched ops
+        under jit/scan, while the kernel's in-VMEM while_loop exits as
+        soon as the block converges (well-seeded successive pairs: a few
+        iterations). Elsewhere (CPU tests, interpret overhead) the XLA
+        path stays. Configs the kernel does not implement (RANSAC
+        rejection, point-to-point) keep the XLA path."""
         import dataclasses as dc
 
+        pg = self.config.pose_graph
         if (
             jax.default_backend() not in ("tpu", "axon")
-            or self.config.pose_graph.use_pallas_icp
+            or pg.use_pallas_icp
+            or pg.icp_use_ransac_rejection
+            or not pg.icp_point_to_line
         ):
             return self.config
         return dc.replace(
             self.config,
-            pose_graph=dc.replace(self.config.pose_graph, use_pallas_icp=True),
+            pose_graph=dc.replace(pg, use_pallas_icp=True),
         )
+
+    # Historical name (the kernel was first enabled for reoptimize only).
+    _reopt_config = _kernel_config
 
     def _incremental_method(self, bucket: int) -> str:
         """Linear-solver choice for the warm-started per-keyframe solve:
@@ -1068,7 +1110,7 @@ class DpgSlamEngine:
         if pipelined:
             dpg = False
         self.state, kf_mask, dpg_info, saturated = _process_sequence(
-            self.config,
+            self._kernel_config(),
             self.state,
             odometry,
             scans,
@@ -1114,7 +1156,7 @@ class DpgSlamEngine:
             )
         bucket = self._solve_bucket(int(self.state.num_nodes) + 1)
         self.state = _keyframe_step(
-            self.config,
+            self._kernel_config(),
             self.state,
             ranges,
             self._incremental_method(bucket),
@@ -1167,43 +1209,47 @@ class DpgSlamEngine:
         cost directly. The sweep is additionally COMPACTED to the live
         pairs (host-side numpy validity, see _reoptimize_valid_host),
         sorted successive-first for block early exit, and padded to a
-        64-pair bucket. Uses the Pallas ICP kernel on real TPU hardware."""
-        nb = self._solve_bucket(int(state.num_nodes))
-        node_fields = (
-            "poses", "odom_poses", "pass_ids", "node_active",
-            "ranges", "labels", "sector_active", "cloud",
-            "cloud_mask", "cloud_normals",
+        64-pair bucket. Uses the Pallas ICP kernel on real TPU hardware.
+
+        Dispatch discipline: the whole call is ONE host read (num_nodes +
+        poses + pass_ids in a single device_get) followed by ONE compiled
+        program (_reoptimize_sliced: bucket slicing, the compacted ICP
+        sweep, graph pack, LM solve, and full-capacity pose write-back all
+        inside jit). Eager per-field slicing / concatenation here used to
+        cost ~10 extra device round-trips per call — material on a relay
+        with multi-ms dispatch RTT."""
+        num_nodes, poses_h, pass_ids_h = (
+            np.asarray(x)
+            for x in jax.device_get(
+                (state.num_nodes, state.poses, state.pass_ids)
+            )
         )
-        sub = state._replace(
-            **{f: getattr(state, f)[:nb] for f in node_fields}
+        n_nodes = int(num_nodes)
+        nb = self._solve_bucket(n_nodes)
+        compact_idx, compact_valid, n_live = self._reoptimize_compaction(
+            poses_h[:nb], pass_ids_h[:nb], n_nodes, nb
         )
-        compact_idx, compact_valid, n_live = self._reoptimize_compaction(sub, nb)
-        new_sub, n_edge_cand = _reoptimize(
-            self._reopt_config(), sub, compact_idx, compact_valid,
-            self.solve_method,
+        new_poses, new_graph, n_edge_cand = _reoptimize_sliced(
+            self._reopt_config(), state, compact_idx, compact_valid,
+            self.solve_method, nb,
         )
         # Overflow check without a device sync when a host-side bound
         # already proves it cannot happen: candidates <= odometry factors
         # (< live nodes) + live ICP pairs (the compaction count).
-        n_bound = int(state.num_nodes) - 1 + n_live
+        n_bound = n_nodes - 1 + n_live
         if n_bound > self.config.capacity.max_edges:
             self._check_edge_overflow(int(n_edge_cand))
-        return state._replace(
-            poses=jnp.concatenate([new_sub.poses, state.poses[nb:]], axis=0),
-            graph=new_sub.graph,
-        )
+        return state._replace(poses=new_poses, graph=new_graph)
 
-    def _reoptimize_compaction(self, sub: SlamState, nb: int):
+    def _reoptimize_compaction(self, poses, pass_ids, n_nodes: int, nb: int):
         """Host-side live-pair compaction for the reoptimize sweep:
-        (compact_idx, compact_valid, n_live) — int32/bool device arrays of
+        (compact_idx, compact_valid, n_live) — int32/bool HOST arrays of
         a 64-bucketed length (successive pairs first, so fast-converging
-        pairs share kernel blocks) plus the host live count."""
+        pairs share kernel blocks) plus the host live count. Inputs are
+        host arrays already sliced to the node bucket."""
         K = self.config.pose_graph.max_loop_closures_per_node
-        poses, pass_ids = jax.device_get((sub.poses, sub.pass_ids))
-        node_mask = np.arange(nb) < int(sub.num_nodes)
-        valid = _reoptimize_valid_host(
-            self.config, np.asarray(poses), np.asarray(pass_ids), node_mask
-        )
+        node_mask = np.arange(nb) < n_nodes
+        valid = _reoptimize_valid_host(self.config, poses, pass_ids, node_mask)
         live = np.nonzero(valid)[0]
         is_succ = (live % (1 + K)) == 0
         order = np.concatenate([live[is_succ], live[~is_succ]])
@@ -1212,7 +1258,7 @@ class DpgSlamEngine:
         idx[: len(order)] = order
         val = np.zeros((B,), bool)
         val[: len(order)] = True
-        return jnp.asarray(idx), jnp.asarray(val), len(order)
+        return idx, val, len(order)
 
     def _check_edge_overflow(self, n_edge_candidates: int) -> None:
         """Reoptimize can produce more factor candidates than edge capacity

@@ -300,7 +300,10 @@ def test_reoptimize_compaction_equivalence(office_seq):
     full_val = jnp.ones((n_flat,), bool)
     ref_state, _ = eng_mod._reoptimize(cfg, sub, full_idx, full_val, "dense")
 
-    cidx, cval, _ = eng._reoptimize_compaction(sub, nb)
+    cidx, cval, _ = eng._reoptimize_compaction(
+        np.asarray(sub.poses[:nb]), np.asarray(sub.pass_ids[:nb]),
+        int(eng.state.num_nodes), nb,
+    )
     assert int(cval.sum()) < n_flat // 2, "compaction should drop dead slots"
     cmp_state, _ = eng_mod._reoptimize(cfg, sub, cidx, cval, "dense")
 
