@@ -418,9 +418,16 @@ def bench_schur_kernel(n=768, m=385, n_live=600, repeats=10):
     def xla_solve(H, B):
         return cho_solve(cho_factor(H, lower=True), B)
 
-    Xk = jax.block_until_ready(spd_solve_pallas(Hj, Bj))  # Mosaic compile
+    import functools
+
+    blocked = functools.partial(spd_solve_pallas, blocked=True)
+    unblocked = functools.partial(spd_solve_pallas, blocked=False)
+
+    Xk = jax.block_until_ready(blocked(Hj, Bj))  # Mosaic compile
+    Xu = jax.block_until_ready(unblocked(Hj, Bj))
     Xx = jax.block_until_ready(xla_solve(Hj, Bj))
     dev = float(jnp.max(jnp.abs(Xk - Xx)))
+    dev_u = float(jnp.max(jnp.abs(Xu - Xx)))
 
     def best_of(f):
         best = float("inf")
@@ -431,7 +438,13 @@ def bench_schur_kernel(n=768, m=385, n_live=600, repeats=10):
             time.sleep(0.03)
         return best
 
-    return best_of(spd_solve_pallas) * 1e3, best_of(xla_solve) * 1e3, dev
+    return (
+        best_of(blocked) * 1e3,
+        best_of(unblocked) * 1e3,
+        best_of(xla_solve) * 1e3,
+        dev,
+        dev_u,
+    )
 
 
 def _bench_config():
@@ -524,9 +537,10 @@ def main():
         f"keyframes/s tpu={kf_tpu:.1f} offline={kf_off:.1f} "
         f"cpu={kf_cpu:.1f}; schur kernel", t0,
     )
-    sk_ms, sx_ms, sk_dev = bench_schur_kernel()
+    sk_ms, sku_ms, sx_ms, sk_dev, sku_dev = bench_schur_kernel()
     _note(
-        f"schur kernel {sk_ms:.2f} ms vs xla {sx_ms:.2f} ms (dev {sk_dev:.1e})",
+        f"schur kernel blocked {sk_ms:.2f} ms / unblocked {sku_ms:.2f} ms "
+        f"vs xla {sx_ms:.2f} ms (dev {sk_dev:.1e}/{sku_dev:.1e})",
         t0,
     )
 
@@ -555,6 +569,7 @@ def main():
                 # Compiled (Mosaic) Pallas Schur elimination vs XLA
                 # cho_factor/cho_solve at production sizes, on-device.
                 "schur_kernel_ms": round(sk_ms, 2),
+                "schur_kernel_unblocked_ms": round(sku_ms, 2),
                 "schur_xla_ms": round(sx_ms, 2),
                 "schur_kernel_dev": float(f"{sk_dev:.3e}"),
             }

@@ -123,17 +123,175 @@ def _eliminate(A: jnp.ndarray, B: jnp.ndarray, *, n: int, m: int) -> jnp.ndarray
     return jax.lax.fori_loop(0, n, bwd_step, Y)
 
 
-def _kernel(h_ref, b_ref, x_ref, *, n: int, m: int):
-    x_ref[:, :] = _eliminate(h_ref[:, :], b_ref[:, :], n=n, m=m)
+def _chol_tile(D: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Unblocked masked Cholesky of a (p, p) SPD tile (the same rank-1
+    scheme as _eliminate's chol_step, tile-sized)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    rown = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    coln = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+
+    def step(j, A):
+        dj = jnp.sum(jnp.where((row == j) & (col == j), A, 0.0))
+        inv = jax.lax.rsqrt(jnp.maximum(dj, 1e-30))
+        colj = jnp.sum(jnp.where(col == j, A, 0.0), axis=1, keepdims=True) * inv
+        colj = jnp.where(rown >= j, colj, 0.0)
+        rowj = jnp.sum(jnp.where(row == j, A, 0.0), axis=0, keepdims=True) * inv
+        rowj = jnp.where(coln >= j, rowj, 0.0)
+        update = A - colj * rowj
+        return jnp.where(
+            col == j, colj, jnp.where((row > j) & (col > j), update, A)
+        )
+
+    L = jax.lax.fori_loop(0, p, step, D)
+    return jnp.where(row >= col, L, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "pallas_interpret"))
+def _tri_inv_tile(L: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Inverse of a (p, p) lower-triangular tile by p masked forward-
+    substitution steps on the identity (row-wise: row j of Linv is
+    (e_j - L[j, :j] @ Linv[:j]) / L[j, j])."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    eye = (row == col).astype(L.dtype)
+    ldiag = jnp.sum(jnp.where(row == col, L, 0.0), axis=1, keepdims=True)
+    inv_diag = 1.0 / jnp.maximum(ldiag, 1e-30)
+    rown = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+
+    def step(j, X):
+        # X starts as I; after step j, rows <= j hold Linv rows.
+        inv_j = jnp.sum(jnp.where(rown == j, inv_diag, 0.0))
+        # l_j = row j of L (as a (1, p) vector), entries left of j.
+        lj = jnp.sum(jnp.where(row == j, L, 0.0), axis=0, keepdims=True)
+        lj = jnp.where(col[0:1, :] < j, lj, 0.0)
+        # row_j(Linv) = (e_j - l_j @ X) * inv_j  — one (1,p)@(p,p) pass.
+        acc = jax.lax.dot_general(
+            lj, X, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (1, p)
+        ej = jnp.where(col[0:1, :] == j, 1.0, 0.0)     # (1, p)
+        newrow = (ej - acc) * inv_j
+        return jnp.where(row == j, newrow, X)
+
+    return jax.lax.fori_loop(0, p, step, eye)
+
+
+def _eliminate_blocked(
+    A: jnp.ndarray, B: jnp.ndarray, *, n: int, m: int, p: int
+) -> jnp.ndarray:
+    """Panel-blocked variant of _eliminate: python-unrolled p-wide panels
+    (all slices static — the Mosaic-safe form), per-panel masked Cholesky
+    + explicit triangular inverse on the (p, p) tile, with every panel
+    factor, trailing update, and both triangular solves expressed as MXU
+    matmuls. The serial tail shrinks from n full-(n, n) passes to
+    2p tile-sized steps per panel; the O(n^3) bulk rides the MXU.
+
+    Numerics: diagonal-tile solves apply inv(L_d) by multiplication
+    instead of substitution — equivalent up to f32 rounding for the
+    damped SPD systems this serves (parity pinned in tests/test_schur.py).
+    """
+    assert n % p == 0, (n, p)
+    nb = n // p
+
+    # ---- blocked Cholesky: A's lower triangle becomes L, panel by panel.
+    linvs = []
+    for k in range(nb):
+        o = k * p
+        D = jax.lax.slice(A, (o, o), (o + p, o + p))
+        Ld = _chol_tile(D, p)
+        Linv = _tri_inv_tile(Ld, p)
+        linvs.append(Linv)
+        A = jax.lax.dynamic_update_slice(A, Ld, (o, o))
+        if k + 1 < nb:
+            r = n - o - p
+            Asub = jax.lax.slice(A, (o + p, o), (n, o + p))    # (r, p)
+            # L panel = A_sub @ inv(L_d)^T (MXU).
+            Lpanel = jax.lax.dot_general(
+                Asub, Linv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            trail = jax.lax.slice(A, (o + p, o + p), (n, n))
+            trail = trail - jax.lax.dot_general(
+                Lpanel, Lpanel, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            A = jax.lax.dynamic_update_slice(A, Lpanel, (o + p, o))
+            A = jax.lax.dynamic_update_slice(A, trail, (o + p, o + p))
+
+    # ---- forward solve L Y = B, panel blocks (all MXU).
+    Y = B
+    for k in range(nb):
+        o = k * p
+        Yk = jax.lax.dot_general(
+            linvs[k], jax.lax.slice(Y, (o, 0), (o + p, m)),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        Y = jax.lax.dynamic_update_slice(Y, Yk, (o, 0))
+        if k + 1 < nb:
+            Lbelow = jax.lax.slice(A, (o + p, o), (n, o + p))  # (r, p)
+            below = jax.lax.slice(Y, (o + p, 0), (n, m))
+            below = below - jax.lax.dot_general(
+                Lbelow, Yk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            Y = jax.lax.dynamic_update_slice(Y, below, (o + p, 0))
+
+    # ---- backward solve L^T X = Y, panel blocks from the last.
+    X = Y
+    for k in reversed(range(nb)):
+        o = k * p
+        # (L_d^T)^-1 = Linv^T.
+        Xk = jax.lax.dot_general(
+            linvs[k], jax.lax.slice(X, (o, 0), (o + p, m)),
+            (((0,), (0,)), ((), ())),                   # Linv^T @ X_k
+            preferred_element_type=jnp.float32,
+        )
+        X = jax.lax.dynamic_update_slice(X, Xk, (o, 0))
+        if k > 0:
+            # rows above o: X_above -= (L[o:o+p, :o])^T @ X_k.
+            Lleft = jax.lax.slice(A, (o, 0), (o + p, o))       # (p, o)
+            above = jax.lax.slice(X, (0, 0), (o, m))
+            above = above - jax.lax.dot_general(
+                Lleft, Xk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            X = jax.lax.dynamic_update_slice(X, above, (0, 0))
+    return X
+
+
+def _pick_panel(n: int) -> int | None:
+    """MXU-friendly panel width dividing n (None -> unblocked). 128 is
+    the measured sweet spot (serial tile work scales as panels * p^2 =
+    2 n p, matmul count as n / p); 256/64 bracket it for odd sizes."""
+    for p in (128, 256, 64):
+        if n % p == 0 and n // p >= 2:
+            return p
+    return None
+
+
+def _kernel(h_ref, b_ref, x_ref, *, n: int, m: int, panel: int | None):
+    p = panel
+    if p is not None:
+        x_ref[:, :] = _eliminate_blocked(
+            h_ref[:, :], b_ref[:, :], n=n, m=m, p=p
+        )
+    else:
+        x_ref[:, :] = _eliminate(h_ref[:, :], b_ref[:, :], n=n, m=m)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "pallas_interpret", "blocked", "panel"),
+)
 def spd_solve_pallas(
     H: jnp.ndarray,
     B: jnp.ndarray,
     *,
     interpret: bool = False,
     pallas_interpret: bool = False,
+    blocked: bool = True,
+    panel: int | None = None,
 ) -> jnp.ndarray:
     """Solve H X = B for SPD H entirely in VMEM.
 
@@ -155,9 +313,14 @@ def spd_solve_pallas(
     assert H.shape == (n, n), (H.shape, B.shape)
     H = H.astype(jnp.float32)
     B = B.astype(jnp.float32)
+    p = panel if panel is not None else (_pick_panel(n) if blocked else None)
+    if p is not None and n % p != 0:
+        raise ValueError(f"panel {p} does not divide n={n}")
     if interpret:
+        if p is not None:
+            return _eliminate_blocked(H, B, n=n, m=m, p=p)
         return _eliminate(H, B, n=n, m=m)
-    kernel = functools.partial(_kernel, n=n, m=m)
+    kernel = functools.partial(_kernel, n=n, m=m, panel=p)
     return pl.pallas_call(
         kernel,
         in_specs=[

@@ -197,3 +197,46 @@ def test_schur_recovers_ground_truth():
     )
     err = np.linalg.norm(np.asarray(schur[:N, :2]) - gt[:, :2], axis=1)
     assert err.max() < 0.05, f"max node error {err.max()}"
+
+
+def test_spd_solve_pallas_blocked_matches_scipy():
+    """The panel-blocked elimination (python-unrolled MXU panels,
+    ops/schur_pallas._eliminate_blocked) must reproduce
+    cho_factor/cho_solve at a production-shaped size, for every panel
+    width, through both the pure-jax path and the pallas_call plumbing."""
+    import jax.scipy.linalg as jsl
+
+    from dpg_slam_tpu.ops.schur_pallas import _pick_panel, spd_solve_pallas
+
+    rng = np.random.default_rng(7)
+    n, m = 256, 33
+    assert _pick_panel(n) == 128
+    A = rng.normal(size=(n, n))
+    H = (A @ A.T / n + 3.0 * np.eye(n)).astype(np.float32)
+    H[-9:, :] = 0.0
+    H[:, -9:] = 0.0
+    H[np.arange(n - 9, n), np.arange(n - 9, n)] = 1.0
+    B = rng.normal(size=(n, m)).astype(np.float32)
+
+    L, low = jsl.cho_factor(jnp.asarray(H))
+    want = np.asarray(jsl.cho_solve((L, low), jnp.asarray(B)))
+
+    for panel in (64, 128):
+        got = np.asarray(
+            spd_solve_pallas(
+                jnp.asarray(H), jnp.asarray(B), interpret=True, panel=panel
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-4)
+    got_pl = np.asarray(
+        spd_solve_pallas(jnp.asarray(H), jnp.asarray(B), pallas_interpret=True)
+    )
+    np.testing.assert_allclose(got_pl, want, atol=2e-4)
+    # Odd sizes that no panel divides must still solve (unblocked path).
+    n2 = 72
+    H2 = (np.eye(n2) * 2.0).astype(np.float32)
+    B2 = rng.normal(size=(n2, 5)).astype(np.float32)
+    got2 = np.asarray(
+        spd_solve_pallas(jnp.asarray(H2), jnp.asarray(B2), interpret=True)
+    )
+    np.testing.assert_allclose(got2, B2 / 2.0, atol=1e-5)
