@@ -382,3 +382,43 @@ def test_parity_ab_fixed_vs_live_covariance(office_seq):
     # diagonal (allow 10% noise band — they differ by per-edge weights).
     assert ates["gn"] <= ates["fixed"] * 1.10, ates
     assert ates["censi"] <= ates["fixed"] * 1.15, ates
+
+
+def test_kernel_config_gating(monkeypatch):
+    """engine._kernel_config flips use_pallas_icp exactly on real TPU
+    backends with kernel-supported configs; RANSAC / point-to-point /
+    CPU backends keep the XLA path."""
+    import jax
+
+    import dpg_slam_tpu.engine as eng_mod
+
+    eng = DpgSlamEngine(small_config())
+    # CPU backend (the test environment): no flip.
+    assert eng._kernel_config() is eng.config
+
+    monkeypatch.setattr(
+        eng_mod.jax, "default_backend", lambda: "tpu", raising=True
+    )
+    import dataclasses as dc
+
+    kcfg = eng._kernel_config()
+    assert kcfg.pose_graph.use_pallas_icp
+    # Everything else unchanged.
+    assert dc.replace(kcfg.pose_graph, use_pallas_icp=False) == eng.config.pose_graph
+
+    # Kernel-unsupported configs keep the XLA path even on TPU.
+
+    ransac_cfg = eng.config.replace(
+        pose_graph=dc.replace(
+            eng.config.pose_graph, icp_use_ransac_rejection=True
+        )
+    )
+    eng_r = DpgSlamEngine(ransac_cfg)
+    assert eng_r._kernel_config() is ransac_cfg
+    p2p_cfg = eng.config.replace(
+        pose_graph=dc.replace(eng.config.pose_graph, icp_point_to_line=False)
+    )
+    eng_p = DpgSlamEngine(p2p_cfg)
+    assert eng_p._kernel_config() is p2p_cfg
+    # The historical name stays an alias.
+    assert eng._reopt_config().pose_graph.use_pallas_icp
