@@ -382,6 +382,28 @@ def _dense_solve(eq: _NormalEq, g: FactorGraph, damping: jnp.ndarray) -> jnp.nda
     return delta.reshape(N, 3)
 
 
+def _dense_pallas_solve(
+    eq: _NormalEq, g: FactorGraph, damping: jnp.ndarray
+) -> jnp.ndarray:
+    """_dense_solve with the fused panel-blocked Pallas SPD kernel
+    (ops/schur_pallas.spd_solve_pallas) in place of XLA's
+    cho_factor/cho_solve: one kernel, matrix + factor resident in VMEM
+    across factorization and both triangular solves. 3N is always a
+    multiple of 64 here (node buckets are powers of two >= 64), so the
+    blocked path always engages. Non-TPU backends evaluate the same
+    algorithm as plain XLA ops (interpret)."""
+    N = eq.diag.shape[0]
+    from dpg_slam_tpu.ops.schur_pallas import spd_solve_pallas
+
+    Hf = _dense_H(eq, g, damping)
+    # RHS padded to a full 128-lane tile: a (3N, 1) operand leaves Mosaic
+    # with degenerate lane tiles; the extra zero columns are free.
+    rhs = jnp.zeros((3 * N, 128), Hf.dtype).at[:, 0].set(eq.rhs.reshape(3 * N))
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    delta = spd_solve_pallas(Hf, rhs, interpret=interpret)[:, 0]
+    return delta.reshape(N, 3)
+
+
 def _dense_H(eq: _NormalEq, g: FactorGraph, damping: jnp.ndarray) -> jnp.ndarray:
     """Assemble the damped (3N, 3N) normal matrix from block form."""
     N = eq.diag.shape[0]
@@ -538,7 +560,9 @@ def solve(
       poses: (N, 3) initial estimates (capacity-sized; masked slots ignored).
       g: factor graph.
       node_mask: (N,) bool — live nodes.
-      method: "dense" (Cholesky), "dense_cg" (dense-matvec PCG — cheaper
+      method: "dense" (XLA Cholesky), "dense_pallas" (the fused
+        panel-blocked Pallas SPD kernel — factorization + both triangular
+        solves VMEM-resident), "dense_cg" (dense-matvec PCG — cheaper
         than a factorization above ~256 nodes for warm-started solves),
         or "cg" (block-sparse gather/scatter PCG, O(E) memory).
       gradient_tol: skip/stop when the max-abs whitened gradient falls below
@@ -564,6 +588,8 @@ def solve(
         poses, damping, err, eq, gnorm, accepted, it, done = carry
         if method == "dense":
             delta = _dense_solve(eq, g, damping)
+        elif method == "dense_pallas":
+            delta = _dense_pallas_solve(eq, g, damping)
         elif method == "dense_cg":
             delta = _dense_cg_solve(eq, g, damping, cg_iterations)
         else:

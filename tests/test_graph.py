@@ -51,7 +51,7 @@ EXPECTED = np.array(
 )
 
 
-@pytest.mark.parametrize("method", ["dense", "cg", "dense_cg"])
+@pytest.mark.parametrize("method", ["dense", "cg", "dense_cg", "dense_pallas"])
 def test_gtsam_fixture_optimum(method):
     g, init, mask = build_gtsam_fixture()
     poses, stats = fg.solve(init, g, mask, method=method, max_iterations=30)
@@ -117,3 +117,29 @@ def test_total_error_zero_at_ground_truth():
     g, _, mask = build_gtsam_fixture()
     gt = jnp.zeros((8, 3)).at[:5].set(jnp.array(EXPECTED, jnp.float32))
     assert float(fg.total_error(gt, g)) < 1e-8
+
+
+def test_dense_pallas_matches_dense_at_blocked_size():
+    """fg.solve(method='dense_pallas') == 'dense' on a graph big enough
+    that the panel-blocked elimination engages (3N = 192 -> panel 64)."""
+    rng = np.random.default_rng(11)
+    N, cap = 64, 64
+    model = fg.sqrt_info_from_sigmas(jnp.array([0.1, 0.1, 0.05]))
+    g = fg.empty_graph(max_priors=4, max_edges=256)
+    g = fg.add_prior(
+        g, jnp.int32(0), jnp.zeros(3, jnp.float32),
+        fg.sqrt_info_from_sigmas(jnp.array([0.01, 0.01, 0.01])),
+    )
+    gt = np.cumsum(rng.normal(0.5, 0.1, size=(N, 3)) * [1, 0.2, 0.05], axis=0)
+    for i in range(N - 1):
+        meas = (gt[i + 1] - gt[i]).astype(np.float32)
+        g = fg.add_between(g, jnp.int32(i), jnp.int32(i + 1), jnp.asarray(meas), model)
+    for i, j in [(0, 20), (10, 40), (25, 63)]:
+        meas = (gt[j] - gt[i]).astype(np.float32)
+        g = fg.add_between(g, jnp.int32(i), jnp.int32(j), jnp.asarray(meas), model)
+    init = jnp.asarray(gt + rng.normal(0, 0.05, size=(N, 3)), jnp.float32)
+    mask = jnp.ones((cap,), bool)
+
+    ref, _ = fg.solve(init, g, mask, method="dense", max_iterations=15)
+    got, _ = fg.solve(init, g, mask, method="dense_pallas", max_iterations=15)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)

@@ -75,7 +75,7 @@ def main():
         return poses, stats
 
     ref_poses = None
-    for method in ("dense", "dense_cg"):
+    for method in ("dense", "dense_pallas", "dense_cg"):
         t0 = time.perf_counter()
         poses, stats = solve_with(method)
         jax.block_until_ready(poses)
