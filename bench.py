@@ -391,15 +391,26 @@ def bench_keyframe(cfg=None):
     return fps_tpu, fps_off, fps_cpu
 
 
-def bench_schur_kernel(n=768, m=385, n_live=600, repeats=10):
+def bench_schur_kernel(n=768, m=385, n_live=600, repeats=6, loop=50):
     """Execute the compiled Pallas Schur elimination kernel
-    (ops/schur_pallas.spd_solve_pallas) at production sizes on the real
-    chip, check parity against XLA cho_factor/cho_solve on-device, and
-    time both. n = 3*interior-slot cap, m = 3*sep_cap + 1 — the shapes
+    (ops/schur_pallas.spd_solve_pallas, panel-blocked) at production
+    sizes on the real chip, check parity against XLA
+    cho_factor/cho_solve on-device, and time blocked / unblocked / XLA.
+    n = 3*interior-slot cap, m = 3*sep_cap + 1 — the shapes
     distributed_reoptimize feeds it (parallel/schur.py).
 
-    Returns (kernel_ms, xla_ms, max_dev).
+    Timing is an on-device fori_loop of `loop` data-dependent solves per
+    dispatch, and the result is forced to host with float(): one solve is
+    ~1 ms while the shared-chip relay's dispatch RTT is ~10-25 ms, and
+    block_until_ready on small outputs does NOT reliably wait for device
+    completion through the relay (measured: a 50-solve loop "completed"
+    in 0.1 ms until the value was actually fetched).
+
+    Returns (kernel_ms, unblocked_ms, xla_ms, max_dev, max_dev_unblocked)
+    — per-solve milliseconds.
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
     from jax.scipy.linalg import cho_factor, cho_solve
@@ -414,29 +425,38 @@ def bench_schur_kernel(n=768, m=385, n_live=600, repeats=10):
     Hj = jnp.asarray(H, jnp.float32)
     Bj = jnp.asarray(B, jnp.float32)
 
-    @jax.jit
     def xla_solve(H, B):
         return cho_solve(cho_factor(H, lower=True), B)
-
-    import functools
 
     blocked = functools.partial(spd_solve_pallas, blocked=True)
     unblocked = functools.partial(spd_solve_pallas, blocked=False)
 
     Xk = jax.block_until_ready(blocked(Hj, Bj))  # Mosaic compile
     Xu = jax.block_until_ready(unblocked(Hj, Bj))
-    Xx = jax.block_until_ready(xla_solve(Hj, Bj))
+    Xx = jax.block_until_ready(jax.jit(xla_solve)(Hj, Bj))
     dev = float(jnp.max(jnp.abs(Xk - Xx)))
     dev_u = float(jnp.max(jnp.abs(Xu - Xx)))
 
-    def best_of(f):
+    def looped(solver):
+        @jax.jit
+        def f(H, B, s):
+            def body(i, Bc):
+                X = solver(H + jnp.float32(1e-6) * i, Bc)
+                return B + X * jnp.float32(1e-4)
+            return jnp.sum(jax.lax.fori_loop(0, loop, body, B * s))
+        return f
+
+    def best_of(solver):
+        f = looped(solver)
+        float(f(Hj, Bj, jnp.float32(1.0)))  # compile + warm
         best = float("inf")
-        for _ in range(repeats):
+        for k in range(repeats):
+            s = jnp.float32(1.0 + 0.01 * k)
             t0 = time.perf_counter()
-            jax.block_until_ready(f(Hj, Bj))
+            float(f(Hj, Bj, s))
             best = min(best, time.perf_counter() - t0)
             time.sleep(0.03)
-        return best
+        return best / loop
 
     return (
         best_of(blocked) * 1e3,

@@ -17,17 +17,23 @@ intermediate in VMEM:
     f32) and the (n, m) right-hand-side panel (m = 3 * separator cap + 1)
     stay resident in VMEM across all three phases; XLA's equivalent
     (cho_factor -> cho_solve -> cho_solve) round-trips them through HBM
-    between kernels. Measured (BENCH_r03): at n=768, m=385 the compiled
-    kernel runs ~30 ms vs ~23 ms for the XLA path on the real chip —
-    the 3n sequential fori steps (each a full-matrix masked pass)
-    dominate both, and the unblocked kernel does NOT yet beat XLA's
-    blocked Cholesky; a 128-column panel-blocked variant (MXU trailing
-    updates) is the known path to a win. distributed_reoptimize keeps
-    the XLA solve as its default accordingly;
-  * factorization is unblocked right-looking Cholesky: n fori steps, each
-    one masked (n, n) rank-1 VPU update (columns are extracted with
-    dynamic slices, masking replaces the triangular loop bounds Pallas
-    cannot express);
+    between kernels;
+  * the production form is PANEL-BLOCKED (_eliminate_blocked): python-
+    unrolled p-wide panels, per-panel masked Cholesky + explicit
+    triangular inverse on the (p, p) tile, with panel factors, trailing
+    updates, and both triangular solves as MXU dot_generals. Measured on
+    the real chip at n=768, m=385 (amortized 50-solve on-device loop,
+    2026-08): blocked 0.82 ms/solve vs 8.5 ms unblocked (10x) vs 0.73 ms
+    XLA cho_solve — parity with XLA's blocked Cholesky within ~12%; the
+    residual gap is the 2p serial tile steps per panel (op-issue bound,
+    same class as XLA's own panel serialization). distributed_reoptimize
+    keeps the XLA solve as its default (it is not slower and needs no
+    Mosaic compile); the kernel is the opt-in fused alternative and the
+    dense_pallas LM solve path (graph/factor_graph.py);
+  * the unblocked fallback (_eliminate, for sizes no panel divides) is
+    right-looking Cholesky as n fori steps of masked (n, n) rank-1 VPU
+    updates (masking replaces the triangular loop bounds Pallas cannot
+    express);
   * padded/inactive slots carry identity diagonal rows (the caller
     guarantees this), so padding flows through factorization and solves
     as a no-op.
@@ -193,71 +199,57 @@ def _eliminate_blocked(
     assert n % p == 0, (n, p)
     nb = n // p
 
-    # ---- blocked Cholesky: A's lower triangle becomes L, panel by panel.
-    linvs = []
+    def mm(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=jnp.float32
+        )
+
+    # ---- blocked Cholesky. Mosaic lowers static slices and concatenates
+    # but NOT (even static-index) dynamic_update_slice, so nothing is ever
+    # written back into A: each panel's factors live as separate values
+    # (Linv_k and the sub-diagonal column block Lbelow_k), and the
+    # trailing submatrix SHRINKS by p rows/cols per unrolled step.
+    linvs = []    # (p, p) inverse of the diagonal Cholesky factor
+    lbelows = []  # (n - (k+1) p, p) sub-diagonal block of L
+    trail = A
     for k in range(nb):
-        o = k * p
-        D = jax.lax.slice(A, (o, o), (o + p, o + p))
+        r = n - (k + 1) * p  # rows below this panel
+        D = jax.lax.slice(trail, (0, 0), (p, p))
         Ld = _chol_tile(D, p)
         Linv = _tri_inv_tile(Ld, p)
         linvs.append(Linv)
-        A = jax.lax.dynamic_update_slice(A, Ld, (o, o))
-        if k + 1 < nb:
-            r = n - o - p
-            Asub = jax.lax.slice(A, (o + p, o), (n, o + p))    # (r, p)
-            # L panel = A_sub @ inv(L_d)^T (MXU).
-            Lpanel = jax.lax.dot_general(
-                Asub, Linv, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        if r > 0:
+            Asub = jax.lax.slice(trail, (p, 0), (p + r, p))    # (r, p)
+            Lbelow = mm(Asub, Linv, (((1,), (1,))))            # MXU
+            lbelows.append(Lbelow)
+            trail = jax.lax.slice(trail, (p, p), (p + r, p + r)) - mm(
+                Lbelow, Lbelow, (((1,), (1,)))
             )
-            trail = jax.lax.slice(A, (o + p, o + p), (n, n))
-            trail = trail - jax.lax.dot_general(
-                Lpanel, Lpanel, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            A = jax.lax.dynamic_update_slice(A, Lpanel, (o + p, o))
-            A = jax.lax.dynamic_update_slice(A, trail, (o + p, o + p))
+        else:
+            lbelows.append(None)
 
-    # ---- forward solve L Y = B, panel blocks (all MXU).
-    Y = B
+    # ---- forward solve L Y = B: peel one panel block per step.
+    ys = []
+    rest = B
     for k in range(nb):
-        o = k * p
-        Yk = jax.lax.dot_general(
-            linvs[k], jax.lax.slice(Y, (o, 0), (o + p, m)),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        Y = jax.lax.dynamic_update_slice(Y, Yk, (o, 0))
-        if k + 1 < nb:
-            Lbelow = jax.lax.slice(A, (o + p, o), (n, o + p))  # (r, p)
-            below = jax.lax.slice(Y, (o + p, 0), (n, m))
-            below = below - jax.lax.dot_general(
-                Lbelow, Yk, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        Yk = mm(linvs[k], jax.lax.slice(rest, (0, 0), (p, m)), (((1,), (0,))))
+        ys.append(Yk)
+        if lbelows[k] is not None:
+            r = n - (k + 1) * p
+            rest = jax.lax.slice(rest, (p, 0), (p + r, m)) - mm(
+                lbelows[k], Yk, (((1,), (0,)))
             )
-            Y = jax.lax.dynamic_update_slice(Y, below, (o + p, 0))
 
-    # ---- backward solve L^T X = Y, panel blocks from the last.
-    X = Y
+    # ---- backward solve L^T X = Y from the last panel up; the
+    # correction for panel k uses the already-solved X blocks below it.
+    xs = [None] * nb
     for k in reversed(range(nb)):
-        o = k * p
-        # (L_d^T)^-1 = Linv^T.
-        Xk = jax.lax.dot_general(
-            linvs[k], jax.lax.slice(X, (o, 0), (o + p, m)),
-            (((0,), (0,)), ((), ())),                   # Linv^T @ X_k
-            preferred_element_type=jnp.float32,
-        )
-        X = jax.lax.dynamic_update_slice(X, Xk, (o, 0))
-        if k > 0:
-            # rows above o: X_above -= (L[o:o+p, :o])^T @ X_k.
-            Lleft = jax.lax.slice(A, (o, 0), (o + p, o))       # (p, o)
-            above = jax.lax.slice(X, (0, 0), (o, m))
-            above = above - jax.lax.dot_general(
-                Lleft, Xk, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            X = jax.lax.dynamic_update_slice(X, above, (0, 0))
-    return X
+        acc = ys[k]
+        if lbelows[k] is not None:
+            below = jnp.concatenate(xs[k + 1 :], axis=0)       # (n-(k+1)p, m)
+            acc = acc - mm(lbelows[k], below, (((0,), (0,))))  # Lbelow^T X
+        xs[k] = mm(linvs[k], acc, (((0,), (0,))))              # Linv^T acc
+    return jnp.concatenate(xs, axis=0)
 
 
 def _pick_panel(n: int) -> int | None:
