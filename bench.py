@@ -258,22 +258,45 @@ def build_two_pass_session(cfg, laps=3):
 def bench_reoptimize(cfg, eng, repeats=10):
     """Steady-state seconds for the batched reoptimize, through the same
     path the engine runs at a pass boundary (live-node bucket, compacted
-    Pallas ICP sweep on TPU). Best-of-10 with small sleeps: the TPU relay
-    has contention episodes adding ~25 ms per round trip; min over spread
-    -out repeats measures the device, not the episode."""
+    Pallas ICP sweep on TPU, ONE host read + ONE compiled program).
+    Best-of-N with small sleeps. Returns (best_raw_s, best_corrected_s):
+    the raw number includes the shared-chip relay's dispatch round trips
+    (the honest end-to-end latency on THIS deployment), the corrected one
+    subtracts a per-repeat canary measurement of the relay's current
+    per-dispatch overhead (the relay has multi-hour episodes adding
+    ~25 ms/dispatch; the corrected number is the machine-independent
+    cost of the work itself)."""
     import jax
+    import jax.numpy as jnp
+
+    canary_x = jnp.ones((8,))
+    canary_f = jax.jit(lambda x: x * 2.0)
+    jax.block_until_ready(canary_f(canary_x))
+
+    def canary():
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(canary_f(canary_x))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     state = eng.state
     out = eng._reoptimize_now(state)  # compile
     jax.block_until_ready(out.poses)
     best = float("inf")
+    best_corr = float("inf")
     for _ in range(repeats):
+        c0 = canary()
         t0 = time.perf_counter()
         out = eng._reoptimize_now(state)
         jax.block_until_ready(out.poses)
-        best = min(best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        # The call is 2 relay round trips (device_get + program dispatch).
+        best_corr = min(best_corr, dt - 2 * c0)
         time.sleep(0.05)
-    return best
+    return best, best_corr
 
 
 def bench_reoptimize_cpu(cfg, eng):
@@ -546,8 +569,12 @@ def main():
     _note("acquiring two-pass session", t0)
     eng = _build_session_on_cpu(t0)
     _note(f"session ready ({eng.num_nodes()} nodes); timing TPU reoptimize", t0)
-    tpu_s = bench_reoptimize(cfg, eng)
-    _note(f"tpu reoptimize best={tpu_s:.4f}s; timing serial C++ baseline", t0)
+    tpu_s, tpu_corr_s = bench_reoptimize(cfg, eng)
+    _note(
+        f"tpu reoptimize best={tpu_s:.4f}s "
+        f"(canary-corrected {tpu_corr_s:.4f}s); timing serial C++ baseline",
+        t0,
+    )
     cpu_s, pairs = bench_reoptimize_cpu(cfg, eng)
     _note(f"cpu baseline {cpu_s:.2f}s / {pairs} pairs; pallas parity check", t0)
     pallas_dev = bench_pallas_parity(cfg, eng)
@@ -571,6 +598,13 @@ def main():
                 "value": round(pairs / tpu_s, 1),
                 "unit": "icp_pairs/s",
                 "vs_baseline": round(cpu_s / tpu_s, 2),
+                # The raw numbers above include the shared-chip relay's
+                # per-dispatch round trips (2/call), which have multi-hour
+                # ~25 ms/dispatch contention episodes; the corrected pair
+                # subtracts the per-repeat canary-measured relay overhead
+                # (the machine-independent cost of the work itself).
+                "pairs_per_s_canary_corrected": round(pairs / tpu_corr_s, 1),
+                "vs_baseline_canary_corrected": round(cpu_s / tpu_corr_s, 2),
                 # Significant digits, not decimal places: 2.7e-07 must
                 # not flatten to 0.0 (the artifact is a parity regression
                 # gate; magnitude matters).
