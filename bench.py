@@ -259,44 +259,79 @@ def bench_reoptimize(cfg, eng, repeats=10):
     """Steady-state seconds for the batched reoptimize, through the same
     path the engine runs at a pass boundary (live-node bucket, compacted
     Pallas ICP sweep on TPU, ONE host read + ONE compiled program).
-    Best-of-N with small sleeps. Returns (best_raw_s, best_corrected_s):
-    the raw number includes the shared-chip relay's dispatch round trips
-    (the honest end-to-end latency on THIS deployment), the corrected one
-    subtracts a per-repeat canary measurement of the relay's current
-    per-dispatch overhead (the relay has multi-hour episodes adding
-    ~25 ms/dispatch; the corrected number is the machine-independent
-    cost of the work itself)."""
+    Best-of-N with small sleeps. The number includes the shared-chip
+    relay's dispatch round trips — the honest end-to-end latency on THIS
+    deployment. For the relay-independent device time see
+    bench_reoptimize_device."""
     import jax
-    import jax.numpy as jnp
-
-    canary_x = jnp.ones((8,))
-    canary_f = jax.jit(lambda x: x * 2.0)
-    jax.block_until_ready(canary_f(canary_x))
-
-    def canary():
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(canary_f(canary_x))
-            best = min(best, time.perf_counter() - t0)
-        return best
 
     state = eng.state
     out = eng._reoptimize_now(state)  # compile
     jax.block_until_ready(out.poses)
     best = float("inf")
-    best_corr = float("inf")
     for _ in range(repeats):
-        c0 = canary()
         t0 = time.perf_counter()
         out = eng._reoptimize_now(state)
         jax.block_until_ready(out.poses)
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        # The call is 2 relay round trips (device_get + program dispatch).
-        best_corr = min(best_corr, dt - 2 * c0)
+        best = min(best, time.perf_counter() - t0)
         time.sleep(0.05)
-    return best, best_corr
+    return best
+
+
+def bench_reoptimize_device(cfg, eng, loop=20, repeats=5):
+    """Relay-independent device seconds per reoptimize: chain `loop` full
+    reoptimize programs (the exact _reoptimize_sliced computation the
+    engine dispatches, same bucket / compaction / solver) inside ONE
+    compiled fori_loop dispatch and amortize. The poses input is perturbed
+    by i*1e-30 each iteration — bitwise a no-op in f32, but it makes the
+    body depend on the loop index so XLA's loop-invariant code motion
+    cannot hoist the work out of the loop. The result is forced to host
+    with float(): through the relay, block_until_ready on small outputs
+    returns before device completion (measured; see bench_schur_kernel).
+
+    This replaces a canary-RTT-subtraction estimate that round 3 briefly
+    shipped: modeling the relay round trips and subtracting them went
+    NEGATIVE during a contention episode (the dispatch does not serialize
+    two full canary RTTs). Amortizing the RTT over an on-device loop
+    measures the device instead of modeling the relay."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpg_slam_tpu import engine as eng_mod
+
+    state = eng.state
+    num_nodes, poses_h, pass_ids_h = (
+        np.asarray(x)
+        for x in jax.device_get((state.num_nodes, state.poses, state.pass_ids))
+    )
+    n_nodes = int(num_nodes)
+    nb = eng._solve_bucket(n_nodes)
+    compact_idx, compact_valid, _ = eng._reoptimize_compaction(
+        poses_h[:nb], pass_ids_h[:nb], n_nodes, nb
+    )
+    rcfg = eng._reopt_config()
+    method = eng.solve_method
+
+    @jax.jit
+    def looped(state, ci, cv):
+        def body(i, acc):
+            s = state._replace(
+                poses=state.poses + jnp.float32(i) * jnp.float32(1e-30)
+            )
+            poses, _, _ = eng_mod._reoptimize_sliced(rcfg, s, ci, cv, method, nb)
+            return acc + jnp.sum(poses) * jnp.float32(1e-6)
+        return jax.lax.fori_loop(0, loop, body, jnp.float32(0.0))
+
+    ci = jnp.asarray(compact_idx)
+    cv = jnp.asarray(compact_valid)
+    float(looped(state, ci, cv))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(looped(state, ci, cv))
+        best = min(best, time.perf_counter() - t0)
+        time.sleep(0.03)
+    return best / loop
 
 
 def bench_reoptimize_cpu(cfg, eng):
@@ -569,10 +604,12 @@ def main():
     _note("acquiring two-pass session", t0)
     eng = _build_session_on_cpu(t0)
     _note(f"session ready ({eng.num_nodes()} nodes); timing TPU reoptimize", t0)
-    tpu_s, tpu_corr_s = bench_reoptimize(cfg, eng)
+    tpu_s = bench_reoptimize(cfg, eng)
+    _note(f"tpu reoptimize best={tpu_s:.4f}s; device-amortized loop", t0)
+    tpu_dev_s = bench_reoptimize_device(cfg, eng)
     _note(
-        f"tpu reoptimize best={tpu_s:.4f}s "
-        f"(canary-corrected {tpu_corr_s:.4f}s); timing serial C++ baseline",
+        f"device-amortized reoptimize {tpu_dev_s*1e3:.2f} ms/solve; "
+        "timing serial C++ baseline",
         t0,
     )
     cpu_s, pairs = bench_reoptimize_cpu(cfg, eng)
@@ -599,12 +636,13 @@ def main():
                 "unit": "icp_pairs/s",
                 "vs_baseline": round(cpu_s / tpu_s, 2),
                 # The raw numbers above include the shared-chip relay's
-                # per-dispatch round trips (2/call), which have multi-hour
-                # ~25 ms/dispatch contention episodes; the corrected pair
-                # subtracts the per-repeat canary-measured relay overhead
-                # (the machine-independent cost of the work itself).
-                "pairs_per_s_canary_corrected": round(pairs / tpu_corr_s, 1),
-                "vs_baseline_canary_corrected": round(cpu_s / tpu_corr_s, 2),
+                # per-dispatch round trips, which have multi-hour ~25 ms
+                # contention episodes; the device pair amortizes the RTT
+                # over an on-device loop of full reoptimize programs —
+                # the relay-independent cost of the work itself
+                # (bench_reoptimize_device).
+                "pairs_per_s_device": round(pairs / tpu_dev_s, 1),
+                "vs_baseline_device": round(cpu_s / tpu_dev_s, 2),
                 # Significant digits, not decimal places: 2.7e-07 must
                 # not flatten to 0.0 (the artifact is a parity regression
                 # gate; magnitude matters).
