@@ -336,21 +336,34 @@ def _assemble(
     Jj = Jj * em[:, None, None]
     er = er * em[:, None]
 
-    diag = jnp.zeros((N, 3, 3), poses.dtype)
-    rhs = jnp.zeros((N, 3), poses.dtype)
-
-    # Priors
-    diag = diag.at[g.prior_idx].add(jnp.einsum("pba,pbc->pac", pJ, pJ))
-    rhs = rhs.at[g.prior_idx].add(jnp.einsum("pba,pb->pa", pJ, pr))
-
-    # Edges
+    # Per-factor normal-equation contributions, then node reduction as
+    # one-hot (N, P/E) matmul contractions — the TPU-native scatter: a
+    # handful of MXU passes instead of serialized scatter-adds (measured
+    # ~5x on the warm keyframe assemble; same trick as the ICP
+    # correspondence reduction). Masked factor slots contribute exact
+    # zeros (pJ/Ji/Jj/pr/er are mask-zeroed above), so arbitrary padding
+    # indices are harmless.
     i_idx = g.edge_idx[:, 0]
     j_idx = g.edge_idx[:, 1]
-    diag = diag.at[i_idx].add(jnp.einsum("eba,ebc->eac", Ji, Ji))
-    diag = diag.at[j_idx].add(jnp.einsum("eba,ebc->eac", Jj, Jj))
+    ar = jnp.arange(N)
+    oh_p = (g.prior_idx[None, :] == ar[:, None]).astype(poses.dtype)  # (N,P)
+    oh_i = (i_idx[None, :] == ar[:, None]).astype(poses.dtype)        # (N,E)
+    oh_j = (j_idx[None, :] == ar[:, None]).astype(poses.dtype)        # (N,E)
+
+    diag_p = jnp.einsum("pba,pbc->pac", pJ, pJ)
+    diag_i = jnp.einsum("eba,ebc->eac", Ji, Ji)
+    diag_j = jnp.einsum("eba,ebc->eac", Jj, Jj)
+    diag = (
+        jnp.einsum("np,pac->nac", oh_p, diag_p)
+        + jnp.einsum("ne,eac->nac", oh_i, diag_i)
+        + jnp.einsum("ne,eac->nac", oh_j, diag_j)
+    )
     off = jnp.einsum("eba,ebc->eac", Ji, Jj)  # H_ij block
-    rhs = rhs.at[i_idx].add(jnp.einsum("eba,eb->ea", Ji, er))
-    rhs = rhs.at[j_idx].add(jnp.einsum("eba,eb->ea", Jj, er))
+    rhs = (
+        jnp.einsum("np,pa->na", oh_p, jnp.einsum("pba,pb->pa", pJ, pr))
+        + jnp.einsum("ne,ea->na", oh_i, jnp.einsum("eba,eb->ea", Ji, er))
+        + jnp.einsum("ne,ea->na", oh_j, jnp.einsum("eba,eb->ea", Jj, er))
+    )
 
     # Inactive node slots: identity diagonal, zero gradient -> zero update.
     eye = jnp.eye(3, dtype=poses.dtype)
@@ -405,17 +418,23 @@ def _dense_pallas_solve(
 
 
 def _dense_H(eq: _NormalEq, g: FactorGraph, damping: jnp.ndarray) -> jnp.ndarray:
-    """Assemble the damped (3N, 3N) normal matrix from block form."""
+    """Assemble the damped (3N, 3N) normal matrix from block form, with the
+    off-diagonal edge blocks placed by one-hot matmul contractions instead
+    of 2-D scatter-adds (MXU passes; see _assemble)."""
     N = eq.diag.shape[0]
-    H = jnp.zeros((N, N, 3, 3), eq.diag.dtype)
-    H = H.at[jnp.arange(N), jnp.arange(N)].set(
-        eq.diag + damping * jnp.eye(3, dtype=eq.diag.dtype)
-    )
     i_idx = g.edge_idx[:, 0]
     j_idx = g.edge_idx[:, 1]
     em = g.edge_mask.astype(eq.diag.dtype)[:, None, None]
-    H = H.at[i_idx, j_idx].add(em * eq.off)
-    H = H.at[j_idx, i_idx].add(em * jnp.swapaxes(eq.off, -1, -2))
+    offm = em * eq.off
+    ar = jnp.arange(N)
+    oh_i = (i_idx[None, :] == ar[:, None]).astype(eq.diag.dtype)  # (N,E)
+    oh_j = (j_idx[None, :] == ar[:, None]).astype(eq.diag.dtype)  # (N,E)
+    diagd = eq.diag + damping * jnp.eye(3, dtype=eq.diag.dtype)
+    H = (
+        jnp.einsum("nm,nab->nmab", jnp.eye(N, dtype=eq.diag.dtype), diagd)
+        + jnp.einsum("ne,eab,me->nmab", oh_i, offm, oh_j)
+        + jnp.einsum("ne,eba,me->nmab", oh_j, offm, oh_i)
+    )
     return H.transpose(0, 2, 1, 3).reshape(3 * N, 3 * N)
 
 
@@ -596,7 +615,10 @@ def solve(
             delta = _cg_solve(eq, g, damping, cg_iterations)
         new_poses = poses - delta
         new_poses = new_poses.at[:, 2].set(geom.wrap_angle(new_poses[:, 2]))
-        new_eq, new_err = _assemble(new_poses, g, node_mask, robust_delta)
+        # Accept/reject needs only the error — a residual sweep, not the
+        # full Jacobian/normal-equation assembly (identical value: see
+        # _assemble's error computation).
+        new_err = total_error(new_poses, g, robust_delta)
         accept = new_err < err
         improvement = (err - new_err) / jnp.maximum(err, 1e-12)
         if terminate_on_reject:
@@ -611,10 +633,20 @@ def solve(
             done = accept & (improvement < rel_tol)
         poses = jnp.where(accept, new_poses, poses)
         err = jnp.where(accept, new_err, err)
-        eq = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, a, b), new_eq, eq
+        # Re-linearize (Jacobians + normal equations) ONLY when the step
+        # was accepted and the loop continues: a rejected step retries
+        # from the SAME eq with raised damping, and a converged (done)
+        # step never uses eq again. The dominant warm-keyframe path —
+        # already-at-optimum, reject/reject — then pays residual sweeps
+        # instead of full assemblies.
+        def _relinearize(_):
+            new_eq, _ = _assemble(new_poses, g, node_mask, robust_delta)
+            return new_eq, jnp.max(jnp.abs(new_eq.rhs))
+
+        eq, gnorm = jax.lax.cond(
+            accept & ~done & (it + 1 < max_iterations),
+            _relinearize, lambda _: (eq, gnorm), None,
         )
-        gnorm = jnp.where(accept, jnp.max(jnp.abs(new_eq.rhs)), gnorm)
         damping = jnp.where(accept, damping * 0.5, damping * 4.0)
         damping = jnp.clip(damping, 1e-9, 1e6)
         return (poses, damping, err, eq, gnorm, accepted + accept.astype(jnp.int32), it + 1, done)
