@@ -1,0 +1,280 @@
+"""Session-batched throughput mode: S independent SLAM sessions on one chip.
+
+The reference's execution model is strictly one stream: one ROS process,
+one scan at a time (dpg_slam_main.cc:172-185 feeding dpg_slam.cc:122-140).
+Its per-keyframe cost is a long serial chain of small operations — the
+same shape our single-stream keyframe program has on TPU, where it is
+latency-bound, not compute-bound: the chip is mostly idle between the tiny
+ICP/solve ops of one keyframe.
+
+This module is the TPU-native answer: process S sessions as ONE compiled
+program, vmapped over the session axis, so every step does S keyframes'
+worth of work — S× the arithmetic intensity at nearly the same program
+latency. Two structural moves make it fast and exact:
+
+1.  **Host keyframe schedule.** The keyframe gate (shouldProcessLaser,
+    dpg_slam.cc:577-589) depends ONLY on the odometry stream — never on
+    ICP or solve results — so it is precomputed on the host
+    (`keyframe_schedule`, a numpy replica of the `_observe_odometry` +
+    `_should_process` chain, exactness pinned by
+    tests/test_batch.py::test_keyframe_schedule_parity). The device
+    program then scans over KEYFRAMES only: no per-scan `lax.cond`, no
+    wasted odometry-only steps, and — critically — no both-branch
+    execution under vmap (vmapping a per-scan cond would run the full
+    keyframe body for every scan of every session).
+
+2.  **Cross-session ICP fusion.** Each keyframe's (1+K)-pair ICP batch is
+    assembled per session (engine._keyframe_frontend_pre, vmapped) and
+    then FLATTENED to one (S*(1+K))-pair `icp_align` call — on TPU this
+    feeds the Pallas ICP kernel S*(1+K)/8 blocks per step instead of
+    relying on `vmap`-of-`pallas_call`, and per-block early exit still
+    applies. The graph solves run vmapped (batched Cholesky / batched
+    dense-matvec PCG over the session axis — exactly the batched-small-
+    matrix shape the MXU wants).
+
+Sessions of different lengths are padded to the longest keyframe count;
+padding steps compute and are then discarded with a masked state adopt
+(the pad fraction is small when sessions are similar lengths, and the
+alternative — a cond — would not skip work under vmap anyway).
+
+Semantics: each lane is bit-for-bit the engine's keyframe pipeline (same
+frontend, same solve); parity vs engine.process_sequence is pinned by
+tests/test_batch.py::test_batched_matches_sequential.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpg_slam_tpu import engine as eng_mod
+from dpg_slam_tpu.config import DpgConfig
+from dpg_slam_tpu.engine import SlamState
+from dpg_slam_tpu.ops import icp
+
+__all__ = [
+    "keyframe_schedule",
+    "pack_sessions",
+    "process_sessions_batched",
+    "session_state",
+]
+
+
+def keyframe_schedule(cfg: DpgConfig, odometry: np.ndarray) -> np.ndarray:
+    """Host (numpy) replica of the keyframe gate chain over one odometry
+    stream: which scans the online engine would accept as keyframes.
+
+    Mirrors `_observe_odometry` (dpg_slam.cc:515-526) + `_should_process`
+    (shouldProcessLaser, dpg_slam.cc:577-589) exactly: the first scan of a
+    pass always processes; afterwards a scan processes when the cumulative
+    odometry distance since the last keyframe exceeds min_dist_between_nodes
+    or the heading delta since the last keyframe exceeds
+    min_angle_between_nodes. The gate never reads ICP/solve results, so
+    this host replica is exact (pinned by test_keyframe_schedule_parity).
+
+    Args:
+      odometry: (T, 3) absolute odometry pose per scan.
+
+    Returns:
+      (T,) bool keyframe mask.
+    """
+    pg = cfg.pose_graph
+    odom = np.asarray(odometry, np.float64)
+    T = odom.shape[0]
+    mask = np.zeros((T,), bool)
+    initialized = False
+    odom_at_last = np.zeros(3)
+    cum = 0.0
+    first = True
+    for t in range(T):
+        o = odom[t]
+        if initialized:
+            cum += float(np.hypot(o[0] - odom_at_last_obs[0], o[1] - odom_at_last_obs[1]))
+        else:
+            odom_at_last = o  # first odom fixes the gating reference frame
+            initialized = True
+        odom_at_last_obs = o
+        ang = abs(np.angle(np.exp(1j * (o[2] - odom_at_last[2]))))
+        if first or cum > pg.min_dist_between_nodes or ang > pg.min_angle_between_nodes:
+            mask[t] = True
+            first = False
+            cum = 0.0
+            odom_at_last = o
+    return mask
+
+
+def pack_sessions(
+    cfg: DpgConfig,
+    sessions: list[tuple[np.ndarray, np.ndarray]],
+    max_keyframes: int | None = None,
+):
+    """Compact S sessions' scan streams to their keyframes and pad to a
+    common length (time-major, for lax.scan).
+
+    Args:
+      sessions: list of (odometry (T_s, 3), scans (T_s, B)) per session.
+      max_keyframes: optional cap per session (defaults to node capacity).
+
+    Returns:
+      (kf_odom (Km, S, 3) f32, kf_scans (Km, S, B) f32, kf_valid (Km, S)
+      bool, counts (S,) int list) — host numpy arrays.
+    """
+    cap = cfg.capacity.max_nodes if max_keyframes is None else max_keyframes
+    edges_worst = 2 + cfg.pose_graph.max_loop_closures_per_node
+    cap = min(cap, cfg.capacity.max_edges // edges_worst)
+    B = cfg.scan.num_beams
+    kf_os, kf_ss, counts = [], [], []
+    for odom, scans in sessions:
+        odom = np.asarray(odom, np.float32)
+        scans = np.asarray(scans, np.float32)
+        if scans.shape[1] != B:
+            raise ValueError(f"expected (T, {B}) scans, got {scans.shape}")
+        m = keyframe_schedule(cfg, odom)
+        idx = np.nonzero(m)[0][:cap]
+        kf_os.append(odom[idx])
+        kf_ss.append(scans[idx])
+        counts.append(len(idx))
+    Km = max(counts)
+    S = len(sessions)
+    kf_odom = np.zeros((Km, S, 3), np.float32)
+    kf_scans = np.zeros((Km, S, B), np.float32)
+    kf_valid = np.zeros((Km, S), bool)
+    for s in range(S):
+        n = counts[s]
+        kf_odom[:n, s] = kf_os[s]
+        kf_scans[:n, s] = kf_ss[s]
+        kf_valid[:n, s] = True
+    return kf_odom, kf_scans, kf_valid, counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "solve_method", "solve_bucket")
+)
+def _process_sessions_batched(
+    cfg: DpgConfig,
+    states: SlamState,        # pytree with leading session axis S
+    kf_odom: jnp.ndarray,     # (Km, S, 3) time-major keyframe odometry
+    kf_scans: jnp.ndarray,    # (Km, S, B)
+    kf_valid: jnp.ndarray,    # (Km, S) bool (False = padding step)
+    solve_method: str,
+    solve_bucket: int | None = None,
+) -> SlamState:
+    """One compiled program: lax.scan over keyframe steps, each step
+    processing one keyframe for each of S sessions (see module docstring).
+    """
+    observe_odom = eng_mod._observe_odometry.__wrapped__
+    K1 = 1 + cfg.pose_graph.max_loop_closures_per_node
+
+    def step(states, inp):
+        odom, ranges, valid = inp  # (S, 3), (S, B), (S,)
+        S = odom.shape[0]
+        s1 = jax.vmap(lambda s, o: observe_odom(cfg, s, o))(states, odom)
+        s2, icp_in, tgt_idx, tgt_valid, est_pose, new_idx = jax.vmap(
+            lambda s, r: eng_mod._keyframe_frontend_pre(cfg, s, r)
+        )(s1, ranges)
+
+        # Cross-session ICP fusion: (S, 1+K, ...) -> (S*(1+K), ...).
+        def flat(x):
+            return x.reshape((S * K1,) + x.shape[2:])
+
+        res_flat = icp.icp_align(
+            flat(icp_in.src), flat(icp_in.src_mask),
+            flat(icp_in.tgt), flat(icp_in.tgt_mask),
+            flat(icp_in.seeds), cfg.pose_graph,
+            tgt_normals=flat(icp_in.tgt_normals),
+            gate_multiplier=flat(icp_in.gate),
+        )
+        res = jax.tree_util.tree_map(
+            lambda x: x.reshape((S, K1) + x.shape[1:]), res_flat
+        )
+        s3 = jax.vmap(
+            lambda s, r, ti, tv, ep, ni: eng_mod._keyframe_frontend_post(
+                cfg, s, r, ti, tv, ep, ni
+            )
+        )(s2, res, tgt_idx, tgt_valid, est_pose, new_idx)
+        s4 = jax.vmap(
+            lambda s: eng_mod._keyframe_solve(cfg, s, solve_method, solve_bucket)
+        )(s3)
+
+        # Padding steps: compute happened, but the state update is dropped.
+        def adopt(new, old):
+            v = valid.reshape(valid.shape + (1,) * (new.ndim - 1))
+            return jnp.where(v, new, old)
+
+        states = jax.tree_util.tree_map(adopt, s4, states)
+        return states, None
+
+    states, _ = jax.lax.scan(step, states, (kf_odom, kf_scans, kf_valid))
+    return states
+
+
+def _stack_states(cfg: DpgConfig, n_sessions: int) -> SlamState:
+    """S fresh session states stacked along a leading axis."""
+    one = eng_mod._init_state(cfg)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x[None], n_sessions, axis=0), one
+    )
+
+
+def session_state(states: SlamState, i: int) -> SlamState:
+    """Extract lane i of a stacked SlamState."""
+    return jax.tree_util.tree_map(lambda x: x[i], states)
+
+
+def _solve_choice(cfg: DpgConfig, bucket: int) -> str:
+    """Mirror DpgSlamEngine's incremental-solver choice at a fixed bucket."""
+    return "dense" if bucket <= 256 else "dense_cg"
+
+
+def process_sessions_batched(
+    cfg: DpgConfig,
+    sessions: list[tuple[np.ndarray, np.ndarray]],
+    solve_bucket: int | None = None,
+    solve_method: str | None = None,
+    use_kernel: bool | None = None,
+) -> tuple[SlamState, list[int]]:
+    """Run S independent sessions through the batched keyframe program.
+
+    Args:
+      sessions: list of (odometry (T_s, 3), scans (T_s, B)) streams.
+      solve_bucket: static node bucket for the per-keyframe solve
+        (defaults to the smallest engine bucket covering the longest
+        session's keyframe count).
+      solve_method: linear solver ("dense"/"dense_cg"/"cg"); defaults to
+        the engine's bucket-based choice.
+      use_kernel: force the Pallas ICP path on/off (default: the engine's
+        backend-based choice — kernel on real TPU, XLA elsewhere).
+
+    Returns:
+      (stacked SlamState with leading axis S, per-session keyframe counts).
+    """
+    import dataclasses as dc
+
+    kf_odom, kf_scans, kf_valid, counts = pack_sessions(cfg, sessions)
+    bucket = solve_bucket
+    if bucket is None:
+        b = 64
+        while b < max(counts) + 1:
+            b *= 2
+        bucket = min(b, cfg.capacity.max_nodes)
+    method = solve_method or _solve_choice(cfg, bucket)
+
+    run_cfg = cfg
+    pg = cfg.pose_graph
+    kernel_ok = pg.icp_point_to_line and not pg.icp_use_ransac_rejection
+    if use_kernel is None:
+        use_kernel = (
+            jax.default_backend() in ("tpu", "axon") and kernel_ok
+        )
+    if use_kernel and kernel_ok and not pg.use_pallas_icp:
+        run_cfg = dc.replace(cfg, pose_graph=dc.replace(pg, use_pallas_icp=True))
+
+    states = _stack_states(cfg, len(sessions))
+    states = _process_sessions_batched(
+        run_cfg, states, jnp.asarray(kf_odom), jnp.asarray(kf_scans),
+        jnp.asarray(kf_valid), method, bucket,
+    )
+    return states, counts

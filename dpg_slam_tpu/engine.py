@@ -168,12 +168,26 @@ def _motion_model_sigmas(cfg: DpgConfig, displ: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(jnp.stack([transl, transl, rot]), floor)
 
 
-def _icp_batch_for_new_node(
+class _IcpBatchInputs(NamedTuple):
+    """Assembled inputs for one node's (1+K)-pair ICP batch — split out so
+    the session-batched throughput mode (batch.py) can flatten many
+    sessions' pair batches into ONE icp_align call."""
+
+    src: jnp.ndarray        # (1+K, P, 2)
+    src_mask: jnp.ndarray   # (1+K, P)
+    tgt: jnp.ndarray        # (1+K, P, 2)
+    tgt_mask: jnp.ndarray   # (1+K, P)
+    tgt_normals: jnp.ndarray  # (1+K, P, 2)
+    seeds: jnp.ndarray      # (1+K, 3)
+    gate: jnp.ndarray       # (1+K,)
+
+
+def _icp_pairs_for_new_node(
     cfg: DpgConfig, state: SlamState, new_idx: jnp.ndarray, new_pose: jnp.ndarray
 ):
     """Assemble the (1 + K)-pair ICP batch: successive + top-K loop-closure
     candidates for the new node (which must already be written to the node
-    arrays); returns (result, tgt_indices, cand_valid)."""
+    arrays); returns (_IcpBatchInputs, tgt_indices, cand_valid)."""
     pg = cfg.pose_graph
     K = pg.max_loop_closures_per_node
     N = state.poses.shape[0]
@@ -221,9 +235,22 @@ def _icp_batch_for_new_node(
             jnp.full((K,), pg.icp_coarse_gate_multiplier, jnp.float32),
         ]
     )
+    inputs = _IcpBatchInputs(
+        src=src_cloud, src_mask=src_mask, tgt=tgt_cloud, tgt_mask=tgt_mask,
+        tgt_normals=tgt_normals, seeds=seeds, gate=gate_mult,
+    )
+    return inputs, tgt_idx, tgt_valid
+
+
+def _icp_batch_for_new_node(
+    cfg: DpgConfig, state: SlamState, new_idx: jnp.ndarray, new_pose: jnp.ndarray
+):
+    """Assemble + run the (1 + K)-pair ICP batch for the new node;
+    returns (result, tgt_indices, cand_valid)."""
+    inp, tgt_idx, tgt_valid = _icp_pairs_for_new_node(cfg, state, new_idx, new_pose)
     res = icp.icp_align(
-        src_cloud, src_mask, tgt_cloud, tgt_mask, seeds, pg,
-        tgt_normals=tgt_normals, gate_multiplier=gate_mult,
+        inp.src, inp.src_mask, inp.tgt, inp.tgt_mask, inp.seeds, cfg.pose_graph,
+        tgt_normals=inp.tgt_normals, gate_multiplier=inp.gate,
     )
     return res, tgt_idx, tgt_valid
 
@@ -286,13 +313,14 @@ def _add_observation_factors(
     return graph
 
 
-def _keyframe_frontend(
-    cfg: DpgConfig, state: SlamState, ranges: jnp.ndarray
-) -> SlamState:
-    """The frontend half of a keyframe: node creation, batched ICP
-    (successive + loop closures), factor insertion — everything except
-    the graph solve (updatePoseGraph + updatePoseGraphObsConstraints,
-    dpg_slam.cc:160-314)."""
+def _keyframe_frontend_pre(cfg: DpgConfig, state: SlamState, ranges: jnp.ndarray):
+    """Frontend phase A: pose estimate, prior/odometry factors, node write,
+    and ICP pair assembly — everything up to (not including) the batched
+    ICP call. Split from _keyframe_frontend so the session-batched
+    throughput mode can fuse many sessions' ICP batches into one call.
+
+    Returns (state, icp_inputs, tgt_idx, tgt_valid, est_pose, new_idx).
+    """
     pg = cfg.pose_graph
     is_first = state.first_scan_for_pass
     new_idx = state.num_nodes
@@ -338,11 +366,28 @@ def _keyframe_frontend(
         graph, new_idx - 1, new_idx, odom_displ, odo_si, valid=odo_valid
     )
 
-    # Write the node first (the ICP batch reads its cloud), then scan-match:
-    # successive + loop closures in one batched ICP call.
-    state = _write_node(cfg, state, ranges, est_pose)
+    # Write the node first (the ICP batch reads its cloud), then assemble
+    # the (1+K)-pair scan-match batch: successive + loop closures.
+    state = _write_node(cfg, state, ranges, est_pose)._replace(graph=graph)
+    icp_in, tgt_idx, tgt_valid = _icp_pairs_for_new_node(
+        cfg, state, new_idx, est_pose
+    )
+    return state, icp_in, tgt_idx, tgt_valid, est_pose, new_idx
+
+
+def _keyframe_frontend_post(
+    cfg: DpgConfig,
+    state: SlamState,
+    res: icp.ICPResult,
+    tgt_idx: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    est_pose: jnp.ndarray,
+    new_idx: jnp.ndarray,
+) -> SlamState:
+    """Frontend phase B: closure validity gating, consistency voting, and
+    observation-factor insertion from the ICP results."""
+    pg = cfg.pose_graph
     has_pairs = new_idx > 0
-    res, tgt_idx, tgt_valid = _icp_batch_for_new_node(cfg, state, new_idx, est_pose)
     tgt_valid = tgt_valid & has_pairs
     if not pg.non_successive_scan_constraints:
         tgt_valid = tgt_valid & (jnp.arange(tgt_valid.shape[0]) == 0)
@@ -352,9 +397,30 @@ def _keyframe_frontend(
             cfg, state.poses[tgt_idx[1:]], res.transform[1:], est_pose, clos_ok
         )
         tgt_valid = tgt_valid.at[1:].set(voted)
-    graph = _add_observation_factors(cfg, graph, res, tgt_idx, tgt_valid, new_idx)
-
+    graph = _add_observation_factors(
+        cfg, state.graph, res, tgt_idx, tgt_valid, new_idx
+    )
     return state._replace(graph=graph, first_scan_for_pass=jnp.zeros((), bool))
+
+
+def _keyframe_frontend(
+    cfg: DpgConfig, state: SlamState, ranges: jnp.ndarray
+) -> SlamState:
+    """The frontend half of a keyframe: node creation, batched ICP
+    (successive + loop closures), factor insertion — everything except
+    the graph solve (updatePoseGraph + updatePoseGraphObsConstraints,
+    dpg_slam.cc:160-314)."""
+    state, icp_in, tgt_idx, tgt_valid, est_pose, new_idx = _keyframe_frontend_pre(
+        cfg, state, ranges
+    )
+    res = icp.icp_align(
+        icp_in.src, icp_in.src_mask, icp_in.tgt, icp_in.tgt_mask, icp_in.seeds,
+        cfg.pose_graph, tgt_normals=icp_in.tgt_normals,
+        gate_multiplier=icp_in.gate,
+    )
+    return _keyframe_frontend_post(
+        cfg, state, res, tgt_idx, tgt_valid, est_pose, new_idx
+    )
 
 
 def _keyframe_solve(

@@ -1,0 +1,134 @@
+"""Session-batched throughput mode (dpg_slam_tpu.batch): host keyframe
+schedule parity + batched-vs-sequential state parity."""
+
+import numpy as np
+import pytest
+
+from dpg_slam_tpu import batch
+from dpg_slam_tpu.config import CapacityParams, DpgConfig, PoseGraphParams, ScanParams
+from dpg_slam_tpu.engine import DpgSlamEngine
+from dpg_slam_tpu.io import dataset
+from dpg_slam_tpu.utils.metrics import ate_rmse, to_anchor_frame
+
+
+def small_config(**pg_overrides):
+    return DpgConfig(
+        scan=ScanParams(num_beams=256, range_max=10.0),
+        pose_graph=PoseGraphParams(
+            icp_max_points=64,
+            icp_maximum_iterations=30,
+            max_loop_closures_per_node=4,
+            **pg_overrides,
+        ),
+        capacity=CapacityParams(max_nodes=64, max_edges=512, max_priors=8),
+    )
+
+
+def _make_session(cfg, seed):
+    world = dataset.make_office_world()
+    wps = dataset.office_loop_waypoints()
+    return dataset.simulate_sequence(
+        world, wps, cfg.scan, step=0.5, seed=seed,
+        odom_noise_transl=0.02, odom_noise_rot=0.008,
+    )
+
+
+@pytest.fixture(scope="module")
+def sessions():
+    cfg = small_config()
+    return cfg, [_make_session(cfg, seed) for seed in (1, 2)]
+
+
+def test_keyframe_schedule_parity(sessions):
+    """The host numpy schedule must reproduce the device gate exactly
+    (engine._process_sequence's kf_mask)."""
+    cfg, seqs = sessions
+    for seq in seqs:
+        eng = DpgSlamEngine(cfg)
+        eng._dpg_enabled = False
+        kf_mask = eng.process_sequence(seq.odometry, seq.scans, run_dpg=False)
+        host = batch.keyframe_schedule(cfg, seq.odometry)
+        np.testing.assert_array_equal(host, np.asarray(kf_mask))
+
+
+def test_batched_matches_sequential(sessions):
+    """Each lane of the batched program must match the engine's offline
+    sequential run of the same session (same frontend, same solve)."""
+    cfg, seqs = sessions
+
+    # Sequential references: the engine's own offline program, forced to
+    # the same static solve bucket the batched run uses.
+    refs = []
+    kf_counts = []
+    for seq in seqs:
+        eng = DpgSlamEngine(cfg)
+        eng._dpg_enabled = False
+        m = batch.keyframe_schedule(cfg, seq.odometry)
+        kf_counts.append(int(m.sum()))
+        eng.process_sequence(seq.odometry, seq.scans, run_dpg=False)
+        refs.append(eng)
+
+    states, counts = batch.process_sessions_batched(
+        cfg,
+        [(seq.odometry, seq.scans) for seq in seqs],
+        solve_bucket=None,
+        use_kernel=False,
+    )
+    assert counts == kf_counts
+
+    for i, eng in enumerate(refs):
+        lane = batch.session_state(states, i)
+        n = int(lane.num_nodes)
+        assert n == eng.num_nodes()
+        # Same keyframes, same factor counts.
+        assert int(lane.graph.num_edges) == int(eng.state.graph.num_edges)
+        assert int(lane.graph.num_priors) == int(eng.state.graph.num_priors)
+        # Poses agree: identical per-pair ICP math; the solve runs at a
+        # different static bucket/batching so allow small numeric slack.
+        np.testing.assert_allclose(
+            np.asarray(lane.poses[:n]),
+            eng.trajectory(),
+            atol=2e-3,
+            err_msg=f"lane {i} trajectory diverged from sequential run",
+        )
+
+
+def test_batched_padding_lanes(sessions):
+    """A shorter session padded to the longest one must still match its own
+    solo batched run (padding steps are fully masked)."""
+    cfg, seqs = sessions
+    short = (seqs[0].odometry[: len(seqs[0].odometry) // 2], seqs[0].scans[: len(seqs[0].scans) // 2])
+    full = (seqs[1].odometry, seqs[1].scans)
+
+    solo_states, solo_counts = batch.process_sessions_batched(
+        cfg, [short], use_kernel=False
+    )
+    # Force the same bucket as the mixed run (which is sized by the longer
+    # session) so the comparison isolates padding, not bucket choice.
+    mixed_states, mixed_counts = batch.process_sessions_batched(
+        cfg, [short, full], use_kernel=False
+    )
+    assert mixed_counts[0] == solo_counts[0]
+    lane = batch.session_state(mixed_states, 0)
+    solo = batch.session_state(solo_states, 0)
+    n = int(lane.num_nodes)
+    assert n == int(solo.num_nodes)
+    np.testing.assert_allclose(
+        np.asarray(lane.poses[:n]), np.asarray(solo.poses[:n]), atol=2e-3
+    )
+
+
+def test_batched_tracks_accurately(sessions):
+    """Batched lanes must actually solve SLAM: ATE per lane comparable to
+    the engine's sequential result (well under dead-reckoning error)."""
+    cfg, seqs = sessions
+    states, counts = batch.process_sessions_batched(
+        cfg, [(s.odometry, s.scans) for s in seqs], use_kernel=False
+    )
+    for i, seq in enumerate(seqs):
+        lane = batch.session_state(states, i)
+        n = int(lane.num_nodes)
+        kf_idx = np.nonzero(batch.keyframe_schedule(cfg, seq.odometry))[0][:n]
+        gt = to_anchor_frame(seq.ground_truth[kf_idx])
+        ate = ate_rmse(np.asarray(lane.poses[:n]), gt)
+        assert ate < 0.25, f"lane {i} ATE {ate}"
