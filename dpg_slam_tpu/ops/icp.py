@@ -289,6 +289,7 @@ def _icp_iteration(
     ransac_samples: int = 0,
     ransac_threshold: float = 0.05,
     iter_idx: jnp.ndarray | None = None,
+    error_delta_rel_tol: float = 0.0,
 ) -> _IterState:
     B, P, _ = src.shape
     moved = geom.apply(state.transform[:, None, :], src)  # (B, P, 2)
@@ -440,6 +441,16 @@ def _icp_iteration(
     new_t = new_t.at[:, 2].set(geom.wrap_angle(new_t[:, 2]))
 
     still = state.active & (jnp.sum(step * step, axis=-1) > epsilon)
+    if error_delta_rel_tol > 0.0:
+        # Error-delta exit (config icp_error_delta_rel_tol): freeze pairs
+        # whose fitness stopped improving, even if their step norm still
+        # exceeds the PCL epsilon (oscillation at the optimum). The
+        # isfinite guard skips the first iteration (fitness starts at inf).
+        stalled = jnp.isfinite(state.fitness) & (
+            jnp.abs(state.fitness - fitness)
+            <= error_delta_rel_tol * jnp.maximum(fitness, 1e-12)
+        )
+        still = still & ~stalled
     return _IterState(new_t, still, Hd, num_corr, fitness)
 
 
@@ -453,6 +464,7 @@ def _icp_iteration(
         "epsilon",
         "ransac_iterations",
         "ransac_threshold",
+        "error_delta_rel_tol",
         "fixed_covariance",
         "covariance_mode",
         "sigmas",
@@ -480,6 +492,7 @@ def _icp_align_impl(
     epsilon: float,
     ransac_iterations: int,
     ransac_threshold: float,
+    error_delta_rel_tol: float,
     fixed_covariance: bool,
     covariance_mode: str,
     sigmas: tuple[float, float, float],
@@ -535,6 +548,7 @@ def _icp_align_impl(
             ransac_samples=ransac_iterations,
             ransac_threshold=ransac_threshold,
             iter_idx=it,
+            error_delta_rel_tol=error_delta_rel_tol,
         )
         # No convergence freezing while any annealing is still in
         # progress — a coarse-gate local optimum is not convergence.
@@ -694,6 +708,7 @@ def icp_align(
             params.ransac_iterations if params.icp_use_ransac_rejection else 0
         ),
         ransac_threshold=params.ransac_outlier_rejection_threshold,
+        error_delta_rel_tol=getattr(params, "icp_error_delta_rel_tol", 0.0),
         fixed_covariance=params.use_fixed_icp_covariance,
         covariance_mode=getattr(params, "icp_covariance_mode", "gn"),
         sigmas=(

@@ -82,6 +82,7 @@ _MASK_COORD = 1e4
 def _finish_iteration(
     it, carry, mx, my, qx, qy, qnx, qny, wf, nn_d2,
     *, sm, gate_mult, anneal_iters, epsilon, damping,
+    error_delta_rel_tol=0.0,
 ):
     """Shared per-iteration tail (all kernel variants): point-to-line
     residuals, (G, 1) normal-equation reductions over the point axis,
@@ -143,12 +144,21 @@ def _finish_iteration(
     new_th = new_th - 2.0 * jnp.pi * jnp.round(new_th / (2.0 * jnp.pi))
 
     step_sq = stepx * stepx + stepy * stepy + stept * stept
+    moving = (active > 0.5) & (step_sq > epsilon)
+    if error_delta_rel_tol > 0.0:
+        # Error-delta exit (config icp_error_delta_rel_tol; matches
+        # ops/icp.py): freeze pairs whose fitness stopped improving even
+        # while their step norm oscillates above the PCL epsilon. The
+        # initial fitness carry is _BIG, so iteration 0 never stalls.
+        fitness_prev = carry[11]
+        stalled = jnp.abs(fitness_prev - new_fitness) <= (
+            error_delta_rel_tol * jnp.maximum(new_fitness, 1e-12)
+        )
+        moving = moving & ~stalled
     # Held through the last still-coarse iteration so exit stats are
     # always at the fine gate (matches ops/icp.py).
     annealing = (gate_mult > 1.0) & (it < anneal_iters)
-    still = (
-        ((active > 0.5) & (step_sq > epsilon)) | annealing
-    ).astype(jnp.float32)
+    still = (moving | annealing).astype(jnp.float32)
 
     return (
         new_tx, new_ty, new_th, still,
@@ -177,6 +187,7 @@ def _kernel(
     epsilon: float,
     damping: float,
     censi: bool,
+    error_delta_rel_tol: float = 0.0,
     variant: str = "jt",
 ):
     G = _G
@@ -236,6 +247,7 @@ def _kernel(
                 it, carry, mx, my, qx, qy, qnx, qny, wf, rowmin[:, 0, :],
                 sm=sm, gate_mult=gate_mult,
                 anneal_iters=anneal_iters, epsilon=epsilon, damping=damping,
+                error_delta_rel_tol=error_delta_rel_tol,
             )
 
         dx = mx[:, :, None] - tx[:, None, :]           # (G, P, P)
@@ -270,6 +282,7 @@ def _kernel(
             it, carry, mx, my, qx, qy, qnx, qny, wf, rowmin[:, :, 0],
             sm=sm, gate_mult=gate_mult,
             anneal_iters=anneal_iters, epsilon=epsilon, damping=damping,
+            error_delta_rel_tol=error_delta_rel_tol,
         )
 
     ones = jnp.ones((G, 1), jnp.float32)
@@ -374,13 +387,13 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "max_iterations", "max_corr", "reciprocal", "epsilon", "censi",
-        "interpret", "variant",
+        "error_delta_rel_tol", "interpret", "variant",
     ),
 )
 def _run_kernel(
     planes, seeds,
     *, max_iterations, max_corr, reciprocal, epsilon, censi, interpret,
-    variant="jt",
+    error_delta_rel_tol=0.0, variant="jt",
 ):
     B, P = planes[0].shape
     assert B % _G == 0
@@ -395,6 +408,7 @@ def _run_kernel(
         epsilon=epsilon,
         damping=1e-3,
         censi=censi,
+        error_delta_rel_tol=error_delta_rel_tol,
         variant=variant,
     )
     plane_spec = pl.BlockSpec((_G, P), lambda b: (b, 0), memory_space=pltpu.VMEM)
@@ -482,6 +496,7 @@ def icp_align_pallas(
         reciprocal=params.icp_use_reciprocal_correspondences,
         epsilon=params.icp_maximum_transformation_epsilon,
         censi=censi_mode,
+        error_delta_rel_tol=getattr(params, "icp_error_delta_rel_tol", 0.0),
         interpret=interpret,
     )[:B0]
     init_guess = init_guess[:B0]

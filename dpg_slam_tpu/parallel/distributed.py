@@ -78,9 +78,12 @@ def sharded_icp_align(
 # Distributed CG solve over sharded edges
 # ---------------------------------------------------------------------------
 
-def _local_normal_contrib(poses, edge_idx, edge_meas, edge_sqrt_info, edge_mask):
+def _local_normal_contrib(
+    poses, edge_idx, edge_meas, edge_sqrt_info, edge_mask, robust_delta=None
+):
     """Per-shard between-factor normal-equation pieces: (diag add, off
-    blocks, rhs add) from the LOCAL edges only."""
+    blocks, rhs add) from the LOCAL edges only. With robust_delta set,
+    factors are Huber-IRLS weighted (fg._assemble parity)."""
     g = fg.FactorGraph(
         prior_idx=jnp.zeros((1,), jnp.int32),
         prior_val=jnp.zeros((1, 3), jnp.float32),
@@ -94,6 +97,8 @@ def _local_normal_contrib(poses, edge_idx, edge_meas, edge_sqrt_info, edge_mask)
     # Local edges are pre-masked: use the mask directly instead of counts.
     er, Ji, Jj = fg._between_residual_jac(poses, g)
     em = edge_mask.astype(poses.dtype)
+    if robust_delta is not None:
+        em = em * jnp.sqrt(fg._huber_weight(er, robust_delta))
     Ji = Ji * em[:, None, None]
     Jj = Jj * em[:, None, None]
     er = er * em[:, None]
@@ -113,7 +118,10 @@ def _local_normal_contrib(poses, edge_idx, edge_meas, edge_sqrt_info, edge_mask)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "max_iterations", "cg_iterations")
+    jax.jit,
+    static_argnames=(
+        "mesh", "max_iterations", "cg_iterations", "robust_delta", "rel_tol",
+    ),
 )
 def distributed_solve(
     mesh: Mesh,
@@ -131,12 +139,21 @@ def distributed_solve(
     max_iterations: int = 15,
     cg_iterations: int = 48,
     damping: float = 1e-4,
+    robust_delta: float | None = None,
+    rel_tol: float = 0.0,
 ) -> jnp.ndarray:
-    """Gauss-Newton with distributed PCG: edges sharded over the mesh,
-    poses replicated, per-iteration normal equations psum'd over ICI.
+    """Levenberg-Marquardt with distributed PCG: edges sharded over the
+    mesh, poses replicated, per-iteration normal equations psum'd over ICI.
 
-    Returns optimized poses (replicated). Damping is fixed (no LM
-    accept/reject) — each GN step re-linearizes at the psum'd consensus.
+    Single-chip solver semantics parity (graph/factor_graph.solve):
+    between-factors are Huber-IRLS weighted when ``robust_delta`` is set,
+    steps are accepted/rejected against the robust total error (one extra
+    psum'd scalar per iteration) with adaptive damping, and the loop stops
+    early once an accepted step improves the error by less than
+    ``rel_tol`` (0 = fixed iteration count). Every shard branches on the
+    same psum'd scalars, so the mesh iterates in lockstep.
+
+    Returns optimized poses (replicated).
     """
     n = mesh.devices.size
     E = edge_idx.shape[0]
@@ -145,9 +162,52 @@ def distributed_solve(
     def gn_body(poses_rep, edge_idx_l, edge_meas_l, edge_si_l, edge_mask_l):
         """Runs per-device under shard_map: edge_* are local shards."""
 
-        def one_gn_step(poses, _):
+        def robust_edge_error_local(poses):
+            """This shard's between-factor contribution to the robust
+            total error (psum to get the global value)."""
+            g = fg.FactorGraph(
+                prior_idx=jnp.zeros((1,), jnp.int32),
+                prior_val=jnp.zeros((1, 3), jnp.float32),
+                prior_sqrt_info=jnp.zeros((1, 3, 3), jnp.float32),
+                num_priors=jnp.zeros((), jnp.int32),
+                edge_idx=edge_idx_l,
+                edge_meas=edge_meas_l,
+                edge_sqrt_info=edge_si_l,
+                num_edges=jnp.sum(edge_mask_l).astype(jnp.int32),
+            )
+            er, _, _ = fg._between_residual_jac(poses, g)
+            er = er * edge_mask_l.astype(poses.dtype)[:, None]
+            if robust_delta is None:
+                return 0.5 * jnp.sum(er * er)
+            return fg._huber_loss(er, robust_delta)
+
+        def prior_error(poses):
+            """Prior contribution (replicated; NOT psum'd)."""
+            pr, _ = fg._prior_residual_jac(
+                poses,
+                fg.FactorGraph(
+                    prior_idx=prior_idx,
+                    prior_val=prior_val,
+                    prior_sqrt_info=prior_sqrt_info,
+                    num_priors=jnp.sum(prior_mask).astype(jnp.int32),
+                    edge_idx=jnp.zeros((1, 2), jnp.int32),
+                    edge_meas=jnp.zeros((1, 3), jnp.float32),
+                    edge_sqrt_info=jnp.zeros((1, 3, 3), jnp.float32),
+                    num_edges=jnp.zeros((), jnp.int32),
+                ),
+            )
+            pr = pr * prior_mask.astype(poses.dtype)[:, None]
+            return 0.5 * jnp.sum(pr * pr)
+
+        def robust_error(poses):
+            return prior_error(poses) + jax.lax.psum(
+                robust_edge_error_local(poses), PAIR_AXIS
+            )
+
+        def one_gn_step(poses, damping_c):
             diag_l, off_l, rhs_l, err_l = _local_normal_contrib(
-                poses, edge_idx_l, edge_meas_l, edge_si_l, edge_mask_l
+                poses, edge_idx_l, edge_meas_l, edge_si_l, edge_mask_l,
+                robust_delta=robust_delta,
             )
             # Priors are replicated; fold them in on every device but scale
             # by 1/n so the psum counts them once.
@@ -182,7 +242,7 @@ def distributed_solve(
             eye = jnp.eye(3, dtype=poses.dtype)
             diag = jnp.where(node_mask[:, None, None], diag, eye[None])
             rhs = jnp.where(node_mask[:, None], rhs, 0.0)
-            diag = diag + damping * eye[None]
+            diag = diag + damping_c * eye[None]
             Minv = geom.inv_sym3(diag)
 
             def matvec(v):
@@ -226,10 +286,40 @@ def distributed_solve(
             )
             new_poses = poses - x
             new_poses = new_poses.at[:, 2].set(geom.wrap_angle(new_poses[:, 2]))
-            return new_poses, None
+            return new_poses
 
-        poses_out, _ = jax.lax.scan(
-            one_gn_step, poses_rep, None, length=max_iterations
+        # LM driver (single-chip fg.solve parity): accept/reject against
+        # the robust total error, adaptive damping, early stop. Branch
+        # predicates are psum'd scalars — lockstep across the mesh.
+        def cond(carry):
+            _, _, _, it, done = carry
+            return (it < max_iterations) & ~done
+
+        def body(carry):
+            poses, err, damping_c, it, done = carry
+            cand = one_gn_step(poses, damping_c)
+            cand_err = robust_error(cand)
+            accept = cand_err < err
+            improvement = (err - cand_err) / jnp.maximum(err, 1e-12)
+            if rel_tol > 0.0:
+                done = accept & (improvement < rel_tol)
+            poses = jnp.where(accept, cand, poses)
+            err = jnp.where(accept, cand_err, err)
+            damping_c = jnp.clip(
+                jnp.where(accept, damping_c * 0.5, damping_c * 4.0), 1e-9, 1e6
+            )
+            return poses, err, damping_c, it + 1, done
+
+        poses_out, _, _, _, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                poses_rep,
+                robust_error(poses_rep),
+                jnp.asarray(damping, poses_rep.dtype),
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool),
+            ),
         )
         return poses_out
 
@@ -249,10 +339,15 @@ def distributed_reoptimize(
     """Multi-chip pass-boundary reoptimize (the most expensive operation in
     the system — the reference's serial O(N^2) loop, dpg_slam.cc:35-120):
 
-      1. all successive + loop-closure ICP pairs, pair-axis sharded over
-         the mesh (pure data parallelism, no communication per pair);
+      1. the LIVE successive + loop-closure ICP pairs (host-compacted to
+         ~25-30% of the flat N*(1+K) enumeration, exactly like the
+         single-chip path, engine._reoptimize_compaction; padded to a
+         mesh-divisible pair count), pair-axis sharded over the mesh
+         (pure data parallelism, no communication per pair);
       2. factor rebuild on replicated arrays;
-      3. distributed solve with work sharded over the mesh. ``solver``:
+      3. distributed solve with work sharded over the mesh, carrying the
+         single-chip solver's semantics (Huber IRLS via
+         config.robust_delta, LM accept/reject, rel_tol stop). ``solver``:
          * "schur" — submap Schur elimination (parallel/schur.py) over a
            SPATIAL node partition (parallel/partition.py), ONE psum of the
            reduced separator system per GN iteration. The interior
@@ -269,6 +364,10 @@ def distributed_reoptimize(
 
     Returns an updated SlamState (poses + rebuilt graph).
     """
+    import logging
+
+    import numpy as np
+
     from dpg_slam_tpu import engine as eng_mod
 
     pg = cfg.pose_graph
@@ -278,30 +377,69 @@ def distributed_reoptimize(
 
     pairs = eng_mod._reoptimize_pairs(cfg, state)
     flat_src, flat_tgt, flat_valid, seeds, flat_gate = pairs
+    n_flat = flat_src.shape[0]
 
-    pad = (-flat_src.shape[0]) % n
-    if pad:
-        flat_src = jnp.concatenate([flat_src, jnp.zeros((pad,), flat_src.dtype)])
-        flat_tgt = jnp.concatenate([flat_tgt, jnp.zeros((pad,), flat_tgt.dtype)])
-        flat_valid = jnp.concatenate([flat_valid, jnp.zeros((pad,), bool)])
-        seeds = jnp.concatenate([seeds, jnp.zeros((pad, 3), seeds.dtype)])
-        flat_gate = jnp.concatenate([flat_gate, jnp.ones((pad,), flat_gate.dtype)])
-
-    res = sharded_icp_align(
-        mesh,
-        state.cloud[flat_src],
-        state.cloud_mask[flat_src] & flat_valid[:, None],
-        state.cloud[flat_tgt],
-        state.cloud_mask[flat_tgt] & flat_valid[:, None],
-        seeds,
-        pg,
-        tgt_normals=state.cloud_normals[flat_tgt],
-        gate_multiplier=flat_gate,
+    # Host-side live-pair compaction (engine._reoptimize_valid_host): the
+    # flat enumeration is ~70-75% dead padding, and the mesh would ICP all
+    # of it. Compact to the live pairs (successive-first for kernel-block
+    # early exit), padded to a kernel-block- AND mesh-divisible count.
+    num_nodes, poses_h, pass_ids_h = (
+        np.asarray(x)
+        for x in jax.device_get((state.num_nodes, state.poses, state.pass_ids))
     )
+    node_mask_h = np.arange(N) < int(num_nodes)
+    valid_h = eng_mod._reoptimize_valid_host(cfg, poses_h, pass_ids_h, node_mask_h)
+    live = np.nonzero(valid_h)[0]
+    is_succ = (live % (1 + K)) == 0
+    order = np.concatenate([live[is_succ], live[~is_succ]])
+    blk = 64
+    while blk % n != 0:
+        blk *= 2
+    B = max(blk, -(-len(order) // blk) * blk)
+    compact_idx = np.zeros((B,), np.int32)
+    compact_idx[: len(order)] = order
+    compact_valid = np.zeros((B,), bool)
+    compact_valid[: len(order)] = True
+    logging.getLogger("dpg_slam_tpu.parallel").info(
+        "distributed_reoptimize: compacted ICP sweep %d live pairs "
+        "(padded %d) of %d flat slots", len(order), B, n_flat,
+    )
+    ci = jnp.asarray(compact_idx)
+    cval = jnp.asarray(compact_valid) & flat_valid[ci]
+
+    res_c = sharded_icp_align(
+        mesh,
+        state.cloud[flat_src[ci]],
+        state.cloud_mask[flat_src[ci]] & cval[:, None],
+        state.cloud[flat_tgt[ci]],
+        state.cloud_mask[flat_tgt[ci]] & cval[:, None],
+        seeds[ci],
+        pg,
+        tgt_normals=state.cloud_normals[flat_tgt[ci]],
+        gate_multiplier=flat_gate[ci],
+    )
+
+    # Scatter compacted results back to flat order (engine._reoptimize
+    # fallbacks: seed transform, not converged, parity covariance).
+    scatter_to = jnp.where(cval, ci, n_flat)
+    transforms = seeds.at[scatter_to].set(res_c.transform, mode="drop")
+    converged = (
+        jnp.zeros((n_flat,), bool).at[scatter_to].set(res_c.converged, mode="drop")
+    )
+    fallback_cov = jnp.broadcast_to(
+        jnp.diag(
+            jnp.asarray(
+                [pg.laser_x_variance, pg.laser_y_variance, pg.laser_theta_variance],
+                jnp.float32,
+            )
+        ),
+        (n_flat, 3, 3),
+    )
+    covs = fallback_cov.at[scatter_to].set(res_c.covariance, mode="drop")
 
     graph, n_edge_cand = eng_mod._reoptimize_pack_graph(
         cfg, state, flat_src, flat_tgt, flat_valid,
-        res.transform, res.converged, res.covariance,
+        transforms, converged, covs,
     )
     E = graph.edge_idx.shape[0]
     if int(n_edge_cand) > E:
@@ -314,10 +452,6 @@ def distributed_reoptimize(
         solver == "auto" and N % n == 0 and N // n >= 4
     )
     if use_schur:
-        import logging
-
-        import numpy as np
-
         from dpg_slam_tpu.parallel.partition import spatial_blocks
         from dpg_slam_tpu.parallel.schur import schur_solve
 
@@ -343,7 +477,9 @@ def distributed_reoptimize(
             graph.edge_mask,
             jnp.asarray(assign),
             sep_cap=sep_cap,
-            max_iterations=pg.gn_max_iterations,
+            max_iterations=min(pg.gn_max_iterations, pg.gtsam_max_iterations),
+            robust_delta=pg.robust_delta,
+            rel_tol=pg.gn_tol,
             pallas_elimination=pallas_elimination,
             pallas_interpret=jax.default_backend() not in ("tpu", "axon"),
         )
@@ -366,6 +502,8 @@ def distributed_reoptimize(
             graph.edge_meas,
             graph.edge_sqrt_info,
             graph.edge_mask,
-            max_iterations=pg.gn_max_iterations,
+            max_iterations=min(pg.gn_max_iterations, pg.gtsam_max_iterations),
+            robust_delta=pg.robust_delta,
+            rel_tol=pg.gn_tol,
         )
     return state._replace(poses=poses, graph=graph)

@@ -44,8 +44,8 @@ __all__ = ["schur_solve"]
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "sep_cap", "max_iterations", "damping",
-        "pallas_elimination", "pallas_interpret",
+        "mesh", "sep_cap", "max_iterations", "damping", "robust_delta",
+        "rel_tol", "pallas_elimination", "pallas_interpret",
     ),
 )
 def schur_solve(
@@ -65,10 +65,22 @@ def schur_solve(
     sep_cap: int = 64,
     max_iterations: int = 10,
     damping: float = 1e-4,
+    robust_delta: float | None = None,
+    rel_tol: float = 0.0,
     pallas_elimination: bool = False,
     pallas_interpret: bool = False,
 ):
-    """Gauss-Newton with per-iteration distributed Schur elimination.
+    """Levenberg-Marquardt with per-iteration distributed Schur elimination.
+
+    Semantics parity with the single-chip solver (graph/factor_graph.solve,
+    the replacement for dpg_slam.cc:316-329): between-factors get Huber
+    IRLS weighting when ``robust_delta`` is set (outlier closures — the
+    exact case reoptimize exists for — contribute linearly instead of
+    quadratically), steps are accepted/rejected against the robust total
+    error with adaptive damping, and the loop stops early when an accepted
+    step improves the error by less than ``rel_tol`` (0 keeps the fixed
+    iteration count). The error bookkeeping is replicated arithmetic on
+    already-psum'd quantities, so every shard takes identical branches.
 
     Args (beyond the factor arrays):
       block_assign: optional (N,) node->shard assignment. Default is the
@@ -78,6 +90,9 @@ def schur_solve(
         intra-shard, which is what bounds the separator set on multi-pass
         sessions. Each shard must be assigned at most N/S nodes (overflow
         slots are dropped from that GN iteration's update).
+      robust_delta: Huber threshold on whitened between-factor residual
+        norms (None = pure quadratic GN; reference optimizer behavior).
+      rel_tol: relative-improvement convergence stop for accepted steps.
       pallas_elimination: run the per-shard interior elimination (Cholesky
         + triangular solves) as the fused Pallas kernel
         (ops/schur_pallas.py) instead of jax.scipy cho_factor/cho_solve.
@@ -169,24 +184,55 @@ def schur_solve(
         ei = edge_idx[:, 0]
         ej = edge_idx[:, 1]
 
-        def gn_step(poses, _):
+        g_all = fg.FactorGraph(
+            prior_idx=prior_idx,
+            prior_val=prior_val,
+            prior_sqrt_info=prior_sqrt_info,
+            num_priors=jnp.sum(prior_mask).astype(jnp.int32),
+            edge_idx=edge_idx,
+            edge_meas=edge_meas,
+            edge_sqrt_info=edge_sqrt_info,
+            num_edges=jnp.sum(edge_mask).astype(jnp.int32),
+        )
+
+        def robust_error(poses):
+            """Total (robust) graph error — replicated residual-only sweep,
+            identical on every shard (same bookkeeping as the single-chip
+            fg.total_error)."""
+            er, _, _ = fg._between_residual_jac(poses, g_all)
+            pr, _ = fg._prior_residual_jac(poses, g_all)
+            er = er * edge_mask.astype(poses.dtype)[:, None]
+            pr = pr * prior_mask.astype(poses.dtype)[:, None]
+            perr = 0.5 * jnp.sum(pr * pr)
+            if robust_delta is None:
+                return perr + 0.5 * jnp.sum(er * er)
+            return perr + fg._huber_loss(er, robust_delta)
+
+        def gn_step(poses, damping):
             # --- residuals/Jacobians for ALL factors (cheap, replicated).
-            g_all = fg.FactorGraph(
-                prior_idx=prior_idx,
-                prior_val=prior_val,
-                prior_sqrt_info=prior_sqrt_info,
-                num_priors=jnp.sum(prior_mask).astype(jnp.int32),
-                edge_idx=edge_idx,
-                edge_meas=edge_meas,
-                edge_sqrt_info=edge_sqrt_info,
-                num_edges=jnp.sum(edge_mask).astype(jnp.int32),
-            )
             er, Ji, Jj = fg._between_residual_jac(poses, g_all)
             pr, pJ = fg._prior_residual_jac(poses, g_all)
+
+            # Robust total error at the linearization point (replicated;
+            # masked slots zeroed exactly like fg._assemble).
+            er_m = er * edge_mask.astype(poses.dtype)[:, None]
+            pr_m = pr * prior_mask.astype(poses.dtype)[:, None]
+            perr = 0.5 * jnp.sum(pr_m * pr_m)
+            if robust_delta is None:
+                err_lin = perr + 0.5 * jnp.sum(er_m * er_m)
+            else:
+                err_lin = perr + fg._huber_loss(er_m, robust_delta)
 
             mine_e = (edge_owner == s) & edge_mask
             mine_p = (prior_owner == s) & prior_mask
             em = mine_e.astype(poses.dtype)
+            if robust_delta is not None:
+                # Huber IRLS (single-chip fg._assemble parity): scale each
+                # between-factor's residual/Jacobians by sqrt(weight) so
+                # the normal equations realize the robust loss. Weights
+                # come from the FULL whitened residual (owner-independent,
+                # so every shard agrees on each factor's weight).
+                em = em * jnp.sqrt(fg._huber_weight(er, robust_delta))
             pm = mine_p.astype(poses.dtype)
             Ji = Ji * em[:, None, None]
             Jj = Jj * em[:, None, None]
@@ -343,9 +389,40 @@ def schur_solve(
 
             new_poses = poses - delta
             new_poses = new_poses.at[:, 2].set(geom.wrap_angle(new_poses[:, 2]))
-            return new_poses, None
+            return new_poses, err_lin
 
-        poses_out, _ = jax.lax.scan(gn_step, poses_rep, None, length=max_iterations)
+        # LM driver: accept/reject against the robust total error with
+        # adaptive damping, early stop on small accepted improvement.
+        # All branch predicates derive from replicated (psum'd) scalars,
+        # so every shard iterates in lockstep.
+        def cond(carry):
+            _, _, it, done = carry
+            return (it < max_iterations) & ~done
+
+        def body(carry):
+            poses, damping_c, it, done = carry
+            cand, err_lin = gn_step(poses, damping_c)
+            cand_err = robust_error(cand)
+            accept = cand_err < err_lin
+            improvement = (err_lin - cand_err) / jnp.maximum(err_lin, 1e-12)
+            if rel_tol > 0.0:
+                done = accept & (improvement < rel_tol)
+            poses = jnp.where(accept, cand, poses)
+            damping_c = jnp.clip(
+                jnp.where(accept, damping_c * 0.5, damping_c * 4.0), 1e-9, 1e6
+            )
+            return poses, damping_c, it + 1, done
+
+        poses_out, _, _, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                poses_rep,
+                jnp.asarray(damping, poses_rep.dtype),
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool),
+            ),
+        )
         return poses_out
 
     shard_ids = jnp.arange(S, dtype=jnp.int32)

@@ -147,3 +147,27 @@ def test_distributed_reoptimize_end_to_end():
     ate = ate_rmse(np.asarray(new_state.poses[: len(kf)]), gt)
     assert ate < 0.3, f"distributed reoptimize ATE {ate}"
     assert int(new_state.graph.num_edges) > len(kf)  # odom + obs edges exist
+
+
+def test_distributed_solve_huber_outlier_parity():
+    """Huber-IRLS + LM semantics in the edge-sharded CG solve: with
+    wrong-basin closures, the distributed result matches the single-chip
+    robust solver instead of being dragged quadratically."""
+    from test_schur import outlier_graph
+
+    N = 32
+    g, init, mask, gt = outlier_graph()
+
+    robust, _ = fg.solve(
+        init, g, mask, max_iterations=30, method="dense", robust_delta=2.0
+    )
+    mesh = make_mesh(8)
+    dist = distributed_solve(
+        mesh, init, mask,
+        g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
+        g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
+        max_iterations=30, cg_iterations=64, robust_delta=2.0, rel_tol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist[:N]), np.asarray(robust[:N]), atol=5e-3
+    )

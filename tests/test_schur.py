@@ -240,3 +240,100 @@ def test_spd_solve_pallas_blocked_matches_scipy():
         spd_solve_pallas(jnp.asarray(H2), jnp.asarray(B2), interpret=True)
     )
     np.testing.assert_allclose(got2, B2 / 2.0, atol=1e-5)
+
+
+def outlier_graph(N=32, cap=32, seed=2):
+    """Stiff odometry chain + correct closures + 3 wrong-basin closures
+    (~2 m off, the perceptual-aliasing failure mode reoptimize exists
+    for). Tuned so Huber (delta=2, the production default) visibly wins:
+    robust max position error ~0.6 m vs quadratic ~2.0 m."""
+    rng = np.random.default_rng(seed)
+    gt = np.zeros((N, 3))
+    for i in range(1, N):
+        gt[i] = np.asarray(
+            geom.compose(jnp.array(gt[i - 1]), jnp.array([1.0, 0.0, rng.uniform(-0.3, 0.3)]))
+        )
+    g = fg.empty_graph(4, 256)
+    g = fg.add_prior(
+        g, jnp.int32(0), jnp.array(gt[0], jnp.float32),
+        fg.sqrt_info_from_sigmas(jnp.array([0.05, 0.05, 0.02])),
+    )
+    chain_m = fg.sqrt_info_from_sigmas(jnp.array([0.02, 0.02, 0.01]))
+    clos_m = fg.sqrt_info_from_sigmas(jnp.array([0.1, 0.1, 0.05]))
+    for i in range(N - 1):
+        g = fg.add_between(
+            g, jnp.int32(i), jnp.int32(i + 1),
+            geom.between(jnp.array(gt[i]), jnp.array(gt[i + 1])), chain_m,
+        )
+    for i, j in [(1, 15), (8, 25), (4, 29)]:
+        g = fg.add_between(
+            g, jnp.int32(i), jnp.int32(j),
+            geom.between(jnp.array(gt[i]), jnp.array(gt[j])), clos_m,
+        )
+    for i, j in [(2, 20), (5, 27), (9, 30)]:
+        bad = geom.between(jnp.array(gt[i]), jnp.array(gt[j])) + jnp.array(
+            [2.0, 2.0, 0.4], jnp.float32
+        )
+        g = fg.add_between(g, jnp.int32(i), jnp.int32(j), bad, clos_m)
+    init = jnp.zeros((cap, 3)).at[:N].set(
+        jnp.array(gt + rng.normal(0, 0.05, (N, 3)), jnp.float32)
+    )
+    mask = jnp.arange(cap) < N
+    return g, init, mask, gt
+
+
+def test_schur_huber_outlier_parity():
+    """Single-chip solver semantics in the distributed Schur solve: with
+    wrong-basin (outlier) closures injected, the Huber-IRLS Schur result
+    must match fg.solve(robust_delta=...) — and the outliers must actually
+    matter (pure-GN result visibly dragged away from ground truth)."""
+    N = 32
+    g, init, mask, gt = outlier_graph()
+
+    robust, _ = fg.solve(
+        init, g, mask, max_iterations=30, method="dense", robust_delta=2.0
+    )
+    quad, _ = fg.solve(init, g, mask, max_iterations=30, method="dense")
+    err_robust = float(
+        np.linalg.norm(np.asarray(robust[:N, :2]) - gt[:, :2], axis=1).max()
+    )
+    err_quad = float(
+        np.linalg.norm(np.asarray(quad[:N, :2]) - gt[:, :2], axis=1).max()
+    )
+    assert err_robust < 0.8, f"robust single-chip solve off gt by {err_robust}"
+    assert err_quad > 2.5 * err_robust, (
+        "outlier closures did not perturb the quadratic solve; the parity "
+        f"test is vacuous (quad {err_quad} vs robust {err_robust})"
+    )
+
+    mesh = make_mesh(8)
+    schur, _ = schur_solve(
+        mesh, init, mask,
+        g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
+        g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
+        sep_cap=32, max_iterations=30, robust_delta=2.0, rel_tol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(schur[:N]), np.asarray(robust[:N]), atol=5e-3
+    )
+
+
+def test_schur_rel_tol_converges_early():
+    """The convergence stop must not change the solution (vs the fixed
+    iteration budget) on a clean graph."""
+    N, cap = 32, 32
+    g, init, mask, gt = chain_graph_with_closures(N, cap, n_closures=6, seed=3)
+    mesh = make_mesh(8)
+    fixed, _ = schur_solve(
+        mesh, init, mask,
+        g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
+        g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
+        sep_cap=32, max_iterations=25,
+    )
+    early, _ = schur_solve(
+        mesh, init, mask,
+        g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
+        g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
+        sep_cap=32, max_iterations=25, rel_tol=1e-7,
+    )
+    np.testing.assert_allclose(np.asarray(early[:N]), np.asarray(fixed[:N]), atol=1e-3)
