@@ -449,6 +449,164 @@ def bench_keyframe(cfg=None):
     return fps_tpu, fps_off, fps_cpu
 
 
+def bench_kernel_smoke():
+    """Driver-runnable Mosaic regression gate (cheap, runs FIRST): compile
+    the jt ICP kernel and the blocked SPD kernel at production-shape tiles
+    on the real chip and check ~1e-5-scale parity against the XLA paths.
+    Returns (ok: bool, icp_dev: float, spd_dev: float). A kernel
+    regression (new jax pin, Mosaic layout change) then fails the bench
+    loudly at the start instead of surfacing as a bench-day surprise."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from dpg_slam_tpu.config import PoseGraphParams
+    from dpg_slam_tpu.ops import icp as icp_mod
+    from dpg_slam_tpu.ops.schur_pallas import spd_solve_pallas
+
+    rng = np.random.default_rng(42)
+    # --- ICP kernel at the production tile (8 pairs x 256 points).
+    # Target: an L-shaped corner (both axes constrained).
+    B, P = 8, 256
+    base = PoseGraphParams(icp_max_points=P, icp_maximum_iterations=20)
+    half = P // 2
+    wall_x = np.stack([np.linspace(-2, 2, half), np.full(half, 1.5)], axis=1)
+    wall_y = np.stack([np.full(P - half, -2.0), np.linspace(-1.5, 1.5, P - half)], axis=1)
+    corner = np.concatenate([wall_x, wall_y], axis=0)
+    tgt = np.stack([corner + rng.normal(0, 0.01, (P, 2)) for _ in range(B)])
+    seeds = rng.uniform(-0.15, 0.15, (B, 3)).astype(np.float32)
+    from dpg_slam_tpu import geom
+    src = np.asarray(geom.inv_apply(jnp.asarray(seeds)[:, None, :], jnp.asarray(tgt)))
+    mask = jnp.ones((B, P), bool)
+    outs = {}
+    for pallas in (False, True):
+        pg = dataclasses.replace(base, use_pallas_icp=pallas)
+        res = icp_mod.icp_align(
+            jnp.asarray(src, jnp.float32), mask,
+            jnp.asarray(tgt, jnp.float32), mask,
+            jnp.zeros((B, 3), jnp.float32), pg,
+            gate_multiplier=jnp.ones((B,), jnp.float32),
+        )
+        outs[pallas] = np.asarray(jax.block_until_ready(res.transform))
+    icp_dev = float(np.abs(outs[True] - outs[False]).max())
+
+    # --- blocked SPD kernel at a production-shape tile (384 = 128-node
+    # bucket x 3 dof; rhs 128-lane padded).
+    n = 384
+    A = rng.normal(size=(n, n))
+    H = jnp.asarray(A @ A.T / n + 3.0 * np.eye(n), jnp.float32)
+    Bm = jnp.asarray(rng.normal(size=(n, 128)), jnp.float32)
+    Xk = jax.block_until_ready(spd_solve_pallas(H, Bm, blocked=True))
+    import jax.scipy.linalg as jsl
+    Xx = jax.block_until_ready(
+        jax.jit(lambda H, B: jsl.cho_solve(jsl.cho_factor(H, lower=True), B))(H, Bm)
+    )
+    spd_dev = float(jnp.max(jnp.abs(Xk - Xx)))
+    ok = bool(icp_dev < 1e-4 and spd_dev < 1e-3)
+    return ok, icp_dev, spd_dev
+
+
+def build_batched_sessions(cfg, n_sessions=16, laps=3, step=0.25, seed0=11):
+    """S independent simulated sessions (distinct odometry/sensor noise
+    seeds) over the office world — the multi-robot / multi-stream
+    workload for the session-batched throughput mode."""
+    from dpg_slam_tpu.io import dataset
+
+    world = dataset.make_office_world()
+    wps = dataset.office_loop_waypoints()
+    wps = np.vstack([wps] + [wps[1:]] * (laps - 1))
+    sessions = []
+    for i in range(n_sessions):
+        seq = dataset.simulate_sequence(
+            world, wps, cfg.scan, step=step, seed=seed0 + i,
+            odom_noise_transl=0.02, odom_noise_rot=0.008,
+        )
+        sessions.append((seq.odometry, seq.scans))
+    return sessions
+
+
+def bench_tpu_batched(cfg, sessions, solve_method=None, repeats=3):
+    """Aggregate keyframes/s of the session-batched program (batch.py):
+    S sessions processed start-to-finish as ONE compiled program on the
+    chip. Returns (kf_per_s, total_keyframes, n_sessions, seconds)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpg_slam_tpu import batch
+
+    kf_odom, kf_scans, kf_valid, counts = batch.pack_sessions(cfg, sessions)
+    bucket = 64
+    while bucket < max(counts) + 1:
+        bucket *= 2
+    bucket = min(bucket, cfg.capacity.max_nodes)
+    method = solve_method or batch._solve_choice(cfg, bucket)
+    run_cfg = cfg
+    import dataclasses as dc
+    pg = cfg.pose_graph
+    if jax.default_backend() in ("tpu", "axon") and not pg.use_pallas_icp:
+        run_cfg = dc.replace(cfg, pose_graph=dc.replace(pg, use_pallas_icp=True))
+
+    states0 = batch._stack_states(cfg, len(sessions))
+    ko = jnp.asarray(kf_odom)
+    ks = jnp.asarray(kf_scans)
+    kv = jnp.asarray(kf_valid)
+    st = batch._process_sessions_batched(run_cfg, states0, ko, ks, kv, method, bucket)
+    float(jnp.sum(st.poses))  # force through the relay
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        st = batch._process_sessions_batched(
+            run_cfg, states0, ko, ks, kv, method, bucket
+        )
+        float(jnp.sum(st.poses))
+        best = min(best, time.perf_counter() - t0)
+        time.sleep(0.05)
+    total = int(sum(counts))
+    return total / best, total, len(sessions), best
+
+
+def bench_cpu_scratch(cfg, session):
+    """Serial native C++ baseline on the SAME from-scratch session
+    workload a batched lane processes: keyframe stream from scan 0, K
+    nearest closure candidates per keyframe, full GN solve per keyframe.
+    Returns keyframes/s (single thread)."""
+    from dpg_slam_tpu import batch
+    from dpg_slam_tpu.baselines import serial_cpu
+
+    odom, scans = session
+    m = batch.keyframe_schedule(cfg, odom)
+    idx = np.nonzero(m)[0]
+    clouds = [_host_cloud(cfg, scans[t]) for t in idx]
+    kf_odom = np.asarray(odom, np.float64)[idx]
+    deltas = []
+    for k in range(1, len(idx)):
+        a, b = kf_odom[k - 1], kf_odom[k]
+        c, s = np.cos(a[2]), np.sin(a[2])
+        R = np.array([[c, s], [-s, c]])
+        dxy = R @ (b[:2] - a[:2])
+        deltas.append([dxy[0], dxy[1], np.angle(np.exp(1j * (b[2] - a[2])))])
+    pg = cfg.pose_graph
+    res = serial_cpu.native_baseline_bench(
+        clouds[:1],
+        np.zeros((1, 3)),
+        [],
+        np.diag([1 / 0.2, 1 / 0.2, 1 / 0.15]),
+        clouds[1:],
+        np.asarray(deltas),
+        np.diag([1 / 0.6, 1 / 0.6, 1 / 0.6]),
+        closures_k=pg.max_loop_closures_per_node,
+        icp_params=dict(
+            max_iters=pg.icp_maximum_iterations,
+            gate=pg.icp_max_correspondence_distance,
+            epsilon=pg.icp_maximum_transformation_epsilon,
+        ),
+    )
+    if res is None or not res[0]:
+        raise RuntimeError("native baseline library not built (make -C native)")
+    return res[0]
+
+
 def bench_schur_kernel(n=768, m=385, n_live=600, repeats=6, loop=50):
     """Execute the compiled Pallas Schur elimination kernel
     (ops/schur_pallas.spd_solve_pallas, panel-blocked) at production
@@ -601,7 +759,12 @@ def _build_session_on_cpu(t0):
 def main():
     t0 = time.perf_counter()
     cfg = _bench_config()
-    _note("acquiring two-pass session", t0)
+    _note("mosaic kernel smoke test", t0)
+    smoke_ok, smoke_icp, smoke_spd = bench_kernel_smoke()
+    _note(
+        f"kernel smoke ok={smoke_ok} (icp dev {smoke_icp:.1e}, "
+        f"spd dev {smoke_spd:.1e}); acquiring two-pass session", t0,
+    )
     eng = _build_session_on_cpu(t0)
     _note(f"session ready ({eng.num_nodes()} nodes); timing TPU reoptimize", t0)
     tpu_s = bench_reoptimize(cfg, eng)
@@ -619,7 +782,15 @@ def main():
     kf_tpu, kf_off, kf_cpu = bench_keyframe(cfg)
     _note(
         f"keyframes/s tpu={kf_tpu:.1f} offline={kf_off:.1f} "
-        f"cpu={kf_cpu:.1f}; schur kernel", t0,
+        f"cpu={kf_cpu:.1f}; batched-session throughput", t0,
+    )
+    sessions = build_batched_sessions(cfg)
+    kf_batched, kfb_total, kfb_sessions, kfb_secs = bench_tpu_batched(cfg, sessions)
+    kf_cpu_scratch = bench_cpu_scratch(cfg, sessions[0])
+    _note(
+        f"batched {kfb_sessions} sessions: {kf_batched:.1f} kf/s aggregate "
+        f"({kfb_total} kf in {kfb_secs:.2f}s) vs cpu-scratch "
+        f"{kf_cpu_scratch:.1f} kf/s; schur kernel", t0,
     )
     sk_ms, sku_ms, sx_ms, sk_dev, sku_dev = bench_schur_kernel()
     _note(
@@ -658,6 +829,21 @@ def main():
                 "keyframes_per_s_offline": round(kf_off, 1),
                 "keyframe_vs_baseline": round(kf_off / kf_cpu, 2),
                 "keyframe_online_vs_baseline": round(kf_tpu / kf_cpu, 2),
+                # Session-batched throughput mode (batch.py): S independent
+                # sessions as ONE compiled program; aggregate keyframes/s
+                # across the chip vs the serial C++ baseline running the
+                # SAME from-scratch session workload on one CPU thread.
+                "keyframes_per_s_batched": round(kf_batched, 1),
+                "batched_sessions": kfb_sessions,
+                "batched_total_keyframes": kfb_total,
+                "cpu_scratch_keyframes_per_s": round(kf_cpu_scratch, 1),
+                "keyframe_batched_vs_baseline": round(
+                    kf_batched / kf_cpu_scratch, 2
+                ),
+                # Mosaic kernel regression gate (bench_kernel_smoke).
+                "kernel_smoke_ok": smoke_ok,
+                "kernel_smoke_icp_dev": float(f"{smoke_icp:.3e}"),
+                "kernel_smoke_spd_dev": float(f"{smoke_spd:.3e}"),
                 # Compiled (Mosaic) Pallas Schur elimination vs XLA
                 # cho_factor/cho_solve at production sizes, on-device.
                 "schur_kernel_ms": round(sk_ms, 2),

@@ -88,16 +88,100 @@ def build_big_graph(N, cap, closures_per_node=2, seed=0):
     return g, init, mask, gt
 
 
+def build_multipass_positions_edges(n_per_pass, passes, closures_per_node=1):
+    """Pure-numpy multi-pass workload skeleton: a loop trajectory traversed
+    `passes` times (the reference's real workloads — 4-10 sessions over the
+    same space, dpg_data_runner_main.cc:95-128) with an odometry chain and
+    cross-pass closures between co-located nodes of adjacent passes.
+
+    Returns (positions (N, 2), edge_idx (E, 2)). No jax — this feeds the
+    hardware-free comm-structure study.
+    """
+    N = n_per_pass * passes
+    t = np.linspace(0, 2 * np.pi, n_per_pass, endpoint=False)
+    xy = np.stack([10.0 * np.cos(t), 10.0 * np.sin(t)], axis=1)
+    pos = np.tile(xy, (passes, 1))
+    ei = [np.arange(N - 1)]
+    ej = [np.arange(1, N)]
+    base = np.arange(n_per_pass)
+    for p in range(1, passes):
+        for k in range(closures_per_node):
+            # Same-position node of the previous pass, jittered +-k index.
+            tgt = (base + k) % n_per_pass + (p - 1) * n_per_pass
+            ei.append(tgt)
+            ej.append(base + p * n_per_pass)
+    edge_idx = np.stack([np.concatenate(ei), np.concatenate(ej)], axis=1)
+    return pos, edge_idx
+
+
+def separator_count_host(edge_idx, assign):
+    """Separators under a node->shard assignment: endpoints of cross-shard
+    edges (the replicated classification in parallel/schur.py)."""
+    cross = assign[edge_idx[:, 0]] != assign[edge_idx[:, 1]]
+    sep = np.zeros(assign.shape[0], bool)
+    sep[edge_idx[cross, 0]] = True
+    sep[edge_idx[cross, 1]] = True
+    return int(sep.sum())
+
+
+def comm_structure_study(cg_iterations=48):
+    """Hardware-free comm-volume table: separator counts and psum
+    bytes/GN-iteration for the SPATIAL partition vs the contiguous one,
+    swept over (nodes-per-pass, passes, shards).
+
+    Demonstrates the parallel/partition.py claim: under the spatial
+    (Morton) partition the separator set — and with it the Schur path's
+    psum volume — grows ~ passes x shards (trajectory boundary crossings),
+    NOT ~ N; the contiguous split degenerates to nearly all closure
+    endpoints. CG's per-iteration psum volume is ~ N x cg_iterations
+    regardless of partition, which is the measured motivation for Schur
+    (SCALING_r03: CG efficiency 0.41 at mesh=2).
+    """
+    from dpg_slam_tpu.parallel.partition import spatial_blocks
+
+    rows = []
+    for passes in (2, 4):
+        for n_per_pass in (128, 512, 2048):
+            N = n_per_pass * passes
+            pos, edge_idx = build_multipass_positions_edges(n_per_pass, passes)
+            for shards in (2, 4, 8):
+                if N % shards:
+                    continue
+                assign_sp = spatial_blocks(pos, np.ones(N, bool), shards)
+                assign_ct = (np.arange(N) // (N // shards)).astype(np.int32)
+                sep_sp = separator_count_host(edge_idx, assign_sp)
+                sep_ct = separator_count_host(edge_idx, assign_ct)
+                # The cap a caller would choose for this separator set.
+                cap = max(16, -(-sep_sp // 8) * 8)
+                schur_bytes = 4 * ((3 * cap) ** 2 + 3 * cap + 3 * N)
+                cg_bytes = 4 * (9 * N + 3 * N + cg_iterations * (3 * N + 2))
+                rows.append({
+                    "nodes": N, "passes": passes, "shards": shards,
+                    "edges": int(edge_idx.shape[0]),
+                    "sep_spatial": sep_sp, "sep_contiguous": sep_ct,
+                    "schur_psum_bytes_per_iter": schur_bytes,
+                    "cg_psum_bytes_per_gn_iter": cg_bytes,
+                })
+    return rows
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--nodes", type=int, default=4096)
     parser.add_argument("--mesh-sizes", type=int, nargs="*", default=[1, 2, 4, 8])
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--structure-only", action="store_true",
+                        help="emit only the hardware-free comm-structure "
+                             "table (no timing runs)")
     parser.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "axon"],
                         help="cpu (default) uses a virtual device mesh sized "
                              "to max(mesh_sizes); tpu/axon use real chips")
     args = parser.parse_args(argv)
+
+    if args.structure_only:
+        print(json.dumps({"comm_structure": comm_structure_study()}, indent=2))
+        return 0
 
     import os
 
@@ -185,11 +269,19 @@ def main(argv=None):
                 sep_cap=sep_cap, max_iterations=args.iters,
             )
 
-        out, sep_count = run_schur()
+        out, sep_count, _ = run_schur()
         jax.block_until_ready(out)
+        # Converged-iteration count under the rel_tol stop (vs the fixed
+        # budget the timing rows use).
+        _, _, conv_iters = schur_solve(
+            mesh, init2, mask2,
+            g2.prior_idx, g2.prior_val, g2.prior_sqrt_info, g2.prior_mask,
+            g2.edge_idx, g2.edge_meas, g2.edge_sqrt_info, g2.edge_mask,
+            sep_cap=sep_cap, max_iterations=args.iters, rel_tol=1e-5,
+        )
         t0 = time.perf_counter()
         for _ in range(args.repeats):
-            out, _ = run_schur()
+            out, _, _ = run_schur()
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / args.repeats
         err = np.linalg.norm(np.asarray(out[:N, :2]) - gt2[:, :2], axis=1).max()
@@ -199,6 +291,7 @@ def main(argv=None):
             {
                 "mesh": n_dev,
                 "separators": int(sep_count),
+                "converged_lm_iters": int(conv_iters),
                 "solve_ms": round(dt * 1e3, 1),
                 "speedup": round(schur_base / dt, 2),
                 "efficiency": round(schur_base / dt / n_dev, 2),
@@ -207,6 +300,7 @@ def main(argv=None):
         )
         print(f"# schur {schur_rows[-1]}", file=sys.stderr, flush=True)
     results["schur_solve_chain"] = schur_rows
+    results["comm_structure"] = comm_structure_study()
     results["note"] = (
         "virtual CPU meshes share one host's cores; efficiency numbers are "
         "structural indicators only — run on a real slice for true scaling"

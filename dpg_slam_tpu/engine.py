@@ -433,13 +433,30 @@ def _keyframe_solve(
     (optimizeGraph, dpg_slam.cc:316-329)."""
     pg = cfg.pose_graph
     nb = solve_bucket or state.poses.shape[0]
+    graph = state.graph
+    # Edge bucket: a node bucket of nb live nodes can have accumulated at
+    # most nb*(2+K) edges (odometry + successive + K closures per
+    # keyframe), so the solve's per-iteration assemble (one-hot matmuls
+    # over the edge axis) runs on a sliced edge array instead of the full
+    # capacity. Like the node bucket, this is a pure cost optimization:
+    # edge_mask is count-based, so the slice is exact while
+    # num_edges <= eb (guaranteed by nb >= live nodes).
+    eb = min(
+        nb * (2 + pg.max_loop_closures_per_node), graph.edge_idx.shape[0]
+    )
+    if eb < graph.edge_idx.shape[0]:
+        graph = graph._replace(
+            edge_idx=graph.edge_idx[:eb],
+            edge_meas=graph.edge_meas[:eb],
+            edge_sqrt_info=graph.edge_sqrt_info[:eb],
+        )
     # Unjitted impl: _keyframe_solve is itself always called under jit
     # (directly or inside lax.cond/scan), and tracing a jitted function
     # under cond/scan risks the jax 0.9 buffer-marshaling corruption
     # documented at _dpg_step_fn.
     poses_b, _ = fg.solve.__wrapped__(
         state.poses[:nb],
-        state.graph,
+        graph,
         state.node_mask[:nb],
         max_iterations=pg.incremental_gn_iterations,
         damping_init=pg.gn_damping_init,

@@ -343,6 +343,16 @@ def _assemble(
     # correspondence reduction). Masked factor slots contribute exact
     # zeros (pJ/Ji/Jj/pr/er are mask-zeroed above), so arbitrary padding
     # indices are harmless.
+    #
+    # CAPACITY BOUND: the one-hot operands are O(N*E) floats (default
+    # 512x8192 ~ 16 MB; _dense_H's 3-operand contraction peaks at the
+    # same scale). This is sized for the engine's bucketed solves — the
+    # per-keyframe path slices both the node bucket AND the edge bucket
+    # (engine._keyframe_solve, eb = nb*(2+K)) before calling here, so the
+    # product tracks the LIVE graph. Callers assembling at much larger
+    # static capacities (max_nodes >> 1k with full edge capacity) should
+    # use method="cg" (block-sparse matvec, no dense H) — the engine does
+    # this automatically — or slice the factor arrays like the engine.
     i_idx = g.edge_idx[:, 0]
     j_idx = g.edge_idx[:, 1]
     ar = jnp.arange(N)
@@ -601,6 +611,13 @@ def solve(
 
     def cond(carry):
         _, _, _, _, gnorm, _, it, done = carry
+        # INVARIANT: after an accepted step that is `done` (or at the last
+        # iteration) eq/gnorm are deliberately left STALE (the step body
+        # skips relinearization when the loop cannot continue). That is
+        # safe only because `done`/`it` are tested BEFORE `gnorm` here and
+        # nothing reads eq/gnorm after loop exit. If gnorm is ever
+        # surfaced (e.g. in SolveStats) recompute it from the final
+        # poses first.
         return (it < max_iterations) & ~done & (gnorm > gradient_tol)
 
     def step(carry):

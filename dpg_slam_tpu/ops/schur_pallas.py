@@ -129,15 +129,22 @@ def _eliminate(A: jnp.ndarray, B: jnp.ndarray, *, n: int, m: int) -> jnp.ndarray
     return jax.lax.fori_loop(0, n, bwd_step, Y)
 
 
-def _chol_tile(D: jnp.ndarray, p: int) -> jnp.ndarray:
-    """Unblocked masked Cholesky of a (p, p) SPD tile (the same rank-1
-    scheme as _eliminate's chol_step, tile-sized)."""
+def _chol_inv_tile(D: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Fused inverse-of-Cholesky-factor of a (p, p) SPD tile: ONE p-step
+    loop whose body does the masked rank-1 Cholesky update AND forward-
+    substitutes the identity against the just-produced column — yielding
+    Linv = chol(D)^-1 directly. Halves the blocked elimination's serial
+    tail versus the separate _chol_tile + _tri_inv_tile loops (p steps
+    per panel instead of 2p); the two per-step updates share colj and are
+    data-independent, so they issue in parallel."""
     row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
     rown = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     coln = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    eye = (row == col).astype(D.dtype)
 
-    def step(j, A):
+    def step(j, carry):
+        A, X = carry
         dj = jnp.sum(jnp.where((row == j) & (col == j), A, 0.0))
         inv = jax.lax.rsqrt(jnp.maximum(dj, 1e-30))
         colj = jnp.sum(jnp.where(col == j, A, 0.0), axis=1, keepdims=True) * inv
@@ -145,52 +152,28 @@ def _chol_tile(D: jnp.ndarray, p: int) -> jnp.ndarray:
         rowj = jnp.sum(jnp.where(row == j, A, 0.0), axis=0, keepdims=True) * inv
         rowj = jnp.where(coln >= j, rowj, 0.0)
         update = A - colj * rowj
-        return jnp.where(
-            col == j, colj, jnp.where((row > j) & (col > j), update, A)
-        )
+        A = jnp.where((row > j) & (col > j), update, A)
+        # Forward substitution of I against L's column j (same recurrence
+        # as _eliminate's fwd_step with B = I): after step j, rows <= j of
+        # X hold final Linv rows. L[j, j]^-1 == inv (rsqrt of the pivot).
+        xj = jnp.sum(jnp.where(row == j, X, 0.0), axis=0, keepdims=True) * inv
+        X = jnp.where(row == j, xj, jnp.where(row > j, X - colj * xj, X))
+        return A, X
 
-    L = jax.lax.fori_loop(0, p, step, D)
-    return jnp.where(row >= col, L, 0.0)
-
-
-def _tri_inv_tile(L: jnp.ndarray, p: int) -> jnp.ndarray:
-    """Inverse of a (p, p) lower-triangular tile by p masked forward-
-    substitution steps on the identity (row-wise: row j of Linv is
-    (e_j - L[j, :j] @ Linv[:j]) / L[j, j])."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
-    eye = (row == col).astype(L.dtype)
-    ldiag = jnp.sum(jnp.where(row == col, L, 0.0), axis=1, keepdims=True)
-    inv_diag = 1.0 / jnp.maximum(ldiag, 1e-30)
-    rown = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-
-    def step(j, X):
-        # X starts as I; after step j, rows <= j hold Linv rows.
-        inv_j = jnp.sum(jnp.where(rown == j, inv_diag, 0.0))
-        # l_j = row j of L (as a (1, p) vector), entries left of j.
-        lj = jnp.sum(jnp.where(row == j, L, 0.0), axis=0, keepdims=True)
-        lj = jnp.where(col[0:1, :] < j, lj, 0.0)
-        # row_j(Linv) = (e_j - l_j @ X) * inv_j  — one (1,p)@(p,p) pass.
-        acc = jax.lax.dot_general(
-            lj, X, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                              # (1, p)
-        ej = jnp.where(col[0:1, :] == j, 1.0, 0.0)     # (1, p)
-        newrow = (ej - acc) * inv_j
-        return jnp.where(row == j, newrow, X)
-
-    return jax.lax.fori_loop(0, p, step, eye)
+    _, Linv = jax.lax.fori_loop(0, p, step, (D, eye))
+    return jnp.where(row >= col, Linv, 0.0)
 
 
 def _eliminate_blocked(
     A: jnp.ndarray, B: jnp.ndarray, *, n: int, m: int, p: int
 ) -> jnp.ndarray:
     """Panel-blocked variant of _eliminate: python-unrolled p-wide panels
-    (all slices static — the Mosaic-safe form), per-panel masked Cholesky
-    + explicit triangular inverse on the (p, p) tile, with every panel
-    factor, trailing update, and both triangular solves expressed as MXU
-    matmuls. The serial tail shrinks from n full-(n, n) passes to
-    2p tile-sized steps per panel; the O(n^3) bulk rides the MXU.
+    (all slices static — the Mosaic-safe form), a FUSED per-panel masked
+    Cholesky + triangular inverse on the (p, p) tile (_chol_inv_tile, p
+    serial steps per panel), with every panel factor, trailing update,
+    and both triangular solves expressed as MXU matmuls. The serial tail
+    shrinks from n full-(n, n) passes to p tile-sized steps per panel
+    (n total); the O(n^3) bulk rides the MXU.
 
     Numerics: diagonal-tile solves apply inv(L_d) by multiplication
     instead of substitution — equivalent up to f32 rounding for the
@@ -215,8 +198,7 @@ def _eliminate_blocked(
     for k in range(nb):
         r = n - (k + 1) * p  # rows below this panel
         D = jax.lax.slice(trail, (0, 0), (p, p))
-        Ld = _chol_tile(D, p)
-        Linv = _tri_inv_tile(Ld, p)
+        Linv = _chol_inv_tile(D, p)
         linvs.append(Linv)
         if r > 0:
             Asub = jax.lax.slice(trail, (p, 0), (p + r, p))    # (r, p)

@@ -463,7 +463,7 @@ def distributed_reoptimize(
         # boundary, so small N gets the full-capacity (degenerate but
         # correct) reduced system and large N gets half.
         sep_cap = N if N <= 128 else max(128, -(-N // 2 // 8) * 8)
-        poses, sep_count = schur_solve(
+        poses, sep_count, _ = schur_solve(
             mesh,
             state.poses,
             state.node_mask,

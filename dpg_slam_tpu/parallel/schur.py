@@ -98,7 +98,8 @@ def schur_solve(
         (ops/schur_pallas.py) instead of jax.scipy cho_factor/cho_solve.
       pallas_interpret: interpreter mode for the kernel (CPU tests).
 
-    Returns (poses, separator_count). N must be divisible by the mesh size.
+    Returns (poses, separator_count, lm_iterations). N must be divisible
+    by the mesh size.
     """
     S = mesh.devices.size
     N = poses.shape[0]
@@ -413,7 +414,7 @@ def schur_solve(
             )
             return poses, damping_c, it + 1, done
 
-        poses_out, _, _, _ = jax.lax.while_loop(
+        poses_out, _, iters, _ = jax.lax.while_loop(
             cond,
             body,
             (
@@ -423,13 +424,14 @@ def schur_solve(
                 jnp.zeros((), bool),
             ),
         )
-        return poses_out
+        return poses_out, iters
 
     shard_ids = jnp.arange(S, dtype=jnp.int32)
     sharded = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(PAIR_AXIS), P()),
-        out_specs=P(),
+        out_specs=(P(), P()),
     )
-    return sharded(poses, shard_ids, ctx_in), sep_count
+    poses_out, iters = sharded(poses, shard_ids, ctx_in)
+    return poses_out, sep_count, iters

@@ -45,7 +45,7 @@ def test_schur_matches_dense():
     dense, _ = fg.solve(init, g, mask, max_iterations=25, method="dense")
 
     mesh = make_mesh(8)
-    schur, sep_count = schur_solve(
+    schur, sep_count, _ = schur_solve(
         mesh, init, mask,
         g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
         g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
@@ -62,7 +62,7 @@ def test_schur_no_cross_edges():
     N, cap = 32, 32
     g, init, mask, gt = chain_graph_with_closures(N, cap, n_closures=0)
     mesh = make_mesh(8)
-    schur, sep_count = schur_solve(
+    schur, sep_count, _ = schur_solve(
         mesh, init, mask,
         g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
         g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
@@ -113,8 +113,8 @@ def test_schur_pallas_elimination_matches_xla():
         g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
         g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
     )
-    xla, _ = schur_solve(*args, sep_cap=32, max_iterations=15)
-    pal, _ = schur_solve(
+    xla, _, _ = schur_solve(*args, sep_cap=32, max_iterations=15)
+    pal, _, _ = schur_solve(
         *args, sep_cap=32, max_iterations=15,
         pallas_elimination=True, pallas_interpret=True,
     )
@@ -164,7 +164,7 @@ def test_schur_spatial_assignment():
     for l in range(1, laps):
         same_spot = assign[:per_lap] == assign[l * per_lap : (l + 1) * per_lap]
         assert same_spot.mean() > 0.7, same_spot.mean()
-    schur, sep_count = schur_solve(
+    schur, sep_count, _ = schur_solve(
         mesh, init, mask,
         g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
         g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
@@ -172,7 +172,7 @@ def test_schur_spatial_assignment():
         sep_cap=96, max_iterations=25,
     )
     # Contiguous split for comparison: every closure crosses shards.
-    _, sep_contig = schur_solve(
+    _, sep_contig, _ = schur_solve(
         mesh, init, mask,
         g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
         g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
@@ -189,7 +189,7 @@ def test_schur_recovers_ground_truth():
     N, cap = 64, 64
     g, init, mask, gt = chain_graph_with_closures(N, cap, n_closures=10, noise=0.1)
     mesh = make_mesh(8)
-    schur, _ = schur_solve(
+    schur, _, _ = schur_solve(
         mesh, init, mask,
         g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
         g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
@@ -307,7 +307,7 @@ def test_schur_huber_outlier_parity():
     )
 
     mesh = make_mesh(8)
-    schur, _ = schur_solve(
+    schur, _, _ = schur_solve(
         mesh, init, mask,
         g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
         g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
@@ -324,13 +324,13 @@ def test_schur_rel_tol_converges_early():
     N, cap = 32, 32
     g, init, mask, gt = chain_graph_with_closures(N, cap, n_closures=6, seed=3)
     mesh = make_mesh(8)
-    fixed, _ = schur_solve(
+    fixed, _, _ = schur_solve(
         mesh, init, mask,
         g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
         g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
         sep_cap=32, max_iterations=25,
     )
-    early, _ = schur_solve(
+    early, _, _ = schur_solve(
         mesh, init, mask,
         g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
         g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
