@@ -5,6 +5,9 @@ Run: timeout 580 python tools/kbench.py
 Env: BENCH_SESSION (checkpoint dir, default bench_assets/session),
      KBENCH_VARIANTS (comma list of _run_kernel variants, default v2),
      KBENCH_ITERS (comma list of max_iterations, default "<config>,15"),
+     KBENCH_ERRTOL (comma list of icp_error_delta_rel_tol values to A/B,
+       default "<config>,0" — the error-delta exit vs the strict
+       PCL step-epsilon exit),
      KBENCH_JSON (path: append one JSON line per measurement).
 """
 
@@ -54,7 +57,8 @@ def main():
     lseed = jnp.asarray(seeds[idx])
     lgate = jnp.asarray(flat_gate[idx])
 
-    def run(sub, lsrc, ltgt, lval, lseed, lgate, max_iters, variant="v2"):
+    def run(sub, lsrc, ltgt, lval, lseed, lgate, max_iters, variant="v2",
+            err_tol=0.0):
         src = sub.cloud[lsrc]
         smask = sub.cloud_mask[lsrc] & lval[:, None]
         tgt = sub.cloud[ltgt]
@@ -77,6 +81,7 @@ def main():
             epsilon=pg.icp_maximum_transformation_epsilon,
             censi=False,
             interpret=False,
+            error_delta_rel_tol=err_tol,
             variant=variant,
         )
 
@@ -85,11 +90,19 @@ def main():
         int(s) for s in os.environ.get(
             "KBENCH_ITERS", f"{pg.icp_maximum_iterations},15").split(",")
     )
+    errtols = tuple(
+        float(s) for s in os.environ.get(
+            "KBENCH_ERRTOL",
+            f"{getattr(pg, 'icp_error_delta_rel_tol', 0.0)},0").split(",")
+    )
     ref_out = None
     for variant in variants:
+      for err_tol in errtols:
         for iters in iters_list:
             f = jax.jit(
-                lambda *a, it=iters, v=variant: run(*a, max_iters=it, variant=v)
+                lambda *a, it=iters, v=variant, et=err_tol: run(
+                    *a, max_iters=it, variant=v, err_tol=et
+                )
             )
             try:
                 t, tc, out = timed_detailed(f, sub, lsrc, ltgt, lval, lseed, lgate)
@@ -105,7 +118,7 @@ def main():
             else:
                 dev = float("nan")
             print(
-                f"{variant} kernel B={B} max_iters={iters}: {t*1e3:.2f} ms raw, "
+                f"{variant} errtol={err_tol:g} kernel B={B} max_iters={iters}: {t*1e3:.2f} ms raw, "
                 f"{tc*1e3:.2f} ms canary-corrected  "
                 f"({tc/max(len(live),1)*1e6:.1f} us/live pair; "
                 f"block-iter sum {blk_iters.sum():.0f}, "
@@ -120,6 +133,7 @@ def main():
                 with open(jpath, "a") as fh:
                     fh.write(json.dumps({
                         "variant": variant,
+                        "error_delta_rel_tol": err_tol,
                         "max_iters": iters,
                         "B": B,
                         "live_pairs": int(len(live)),
