@@ -192,6 +192,12 @@ class PoseGraphParams:
     # few LM steps reach convergence (measured: same final error as 20) —
     # the batch-solve answer to iSAM2's single incremental update.
     gn_damping_init: float = 1e-4
+    incremental_cg_iterations: int = 64
+    # CG budget for the warm-started per-keyframe solves on the matvec
+    # paths ("dense_cg"/"cg"). The session-batched throughput mode is
+    # latency-bound on this chain (each CG iteration is ~8 small
+    # lane-shared ops); warm solves converge far earlier than 64, so the
+    # batched bench config trims it.
     gn_tol: float = 1e-5
     # LM relative-improvement stop for the full (reoptimize) solve,
     # forwarded as graph.solve's rel_tol. 1e-5 matches the reference's own

@@ -461,6 +461,7 @@ def _keyframe_solve(
         max_iterations=pg.incremental_gn_iterations,
         damping_init=pg.gn_damping_init,
         method=solve_method,
+        cg_iterations=pg.incremental_cg_iterations,
         robust_delta=pg.robust_delta,
         # Warm-started incremental solve: a rejected LM step (after one
         # damping retry) means "already at the optimum" — don't burn

@@ -334,16 +334,22 @@ def _icp_iteration(
             jax.random.PRNGKey(17),
             jnp.asarray(0 if iter_idx is None else iter_idx, jnp.int32),
         )
-        idx = jax.random.randint(key, (ransac_samples, 2), 0, P)
-        a1 = moved[:, idx[:, 0], :]                       # (B, S, 2)
-        b1 = q[:, idx[:, 0], :]
-        a2 = moved[:, idx[:, 1], :]
-        b2 = q[:, idx[:, 1], :]
+        # PER-PAIR sample indices (B, S, 2): sharing one index set across
+        # the batch correlates rejection decisions between pairs (and a
+        # sample that is degenerate for one pair is degenerate for all).
+        idx = jax.random.randint(key, (B, ransac_samples, 2), 0, P)
+        take = lambda pts, k: jnp.take_along_axis(
+            pts, idx[..., k][..., None], axis=1
+        )                                                 # (B, S, 2)
+        a1 = take(moved, 0)
+        b1 = take(q, 0)
+        a2 = take(moved, 1)
+        b2 = take(q, 1)
         va = a2 - a1
         vb = b2 - b1
         sample_ok = (
-            w[:, idx[:, 0]]
-            & w[:, idx[:, 1]]
+            jnp.take_along_axis(w, idx[..., 0], axis=1)
+            & jnp.take_along_axis(w, idx[..., 1], axis=1)
             & (jnp.sum(va * va, axis=-1) > 1e-6)
             & (jnp.sum(vb * vb, axis=-1) > 1e-6)
         )                                                  # (B, S)

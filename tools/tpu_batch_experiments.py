@@ -13,7 +13,7 @@ from dpg_slam_tpu import batch, engine as eng_mod
 from dpg_slam_tpu.ops import icp
 import bench
 
-phase = sys.argv[1] if len(sys.argv) > 1 else "1"
+phase = sys.argv[1] if len(sys.argv) > 1 else "dense_cg"
 cfg = bench._bench_config()
 world = dataset.make_office_world()
 wps = dataset.office_loop_waypoints()
@@ -73,20 +73,15 @@ def run_variant(name, sessions, run_cfg, solve_method, skip_solve=False, bucket=
         time.sleep(0.05)
     print(f"{name}: compile {tc:.1f}s, best {best:.2f}s -> {total/best:.1f} kf/s aggregate", flush=True)
 
+# ONE variant per process invocation: a killed mid-compile client leaves the
+# remote compiler grinding for tens of minutes and wedges the shared relay
+# (measured twice on 2026-08-21); keep each invocation to a single compile.
 kcfg = dc.replace(cfg, pose_graph=dc.replace(cfg.pose_graph, use_pallas_icp=True))
-if phase == "1":
-    s16 = make_sessions(16)
-    run_variant("S=16 no-solve", s16, kcfg, "dense", skip_solve=True)
-    run_variant("S=16 dense", s16, kcfg, "dense")
-    run_variant("S=16 dense_cg", s16, kcfg, "dense_cg")
-elif phase == "2":
-    s16 = make_sessions(16)
-    run_variant("S=16 cg", s16, kcfg, "cg")
+S = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+if phase in ("dense", "dense_cg", "cg"):
+    run_variant(f"S={S} {phase}", make_sessions(S), kcfg, phase)
+elif phase == "gn2":
     g2 = dc.replace(kcfg, pose_graph=dc.replace(kcfg.pose_graph, incremental_gn_iterations=2))
-    run_variant("S=16 dense_cg gn2", s16, g2, "dense_cg")
-elif phase == "3":
-    s32 = make_sessions(32)
-    m = sys.argv[2] if len(sys.argv) > 2 else "dense_cg"
-    run_variant(f"S=32 {m}", s32, kcfg, m)
-    s64 = make_sessions(64)
-    run_variant(f"S=64 {m}", s64, kcfg, m)
+    run_variant(f"S={S} dense_cg gn2", make_sessions(S), g2, "dense_cg")
+else:
+    raise SystemExit(f"unknown phase {phase}")
