@@ -151,7 +151,8 @@ def pack_sessions(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "solve_method", "solve_bucket")
+    jax.jit,
+    static_argnames=("cfg", "solve_method", "solve_bucket", "solve_stride"),
 )
 def _process_sessions_batched(
     cfg: DpgConfig,
@@ -161,15 +162,24 @@ def _process_sessions_batched(
     kf_valid: jnp.ndarray,    # (Km, S) bool (False = padding step)
     solve_method: str,
     solve_bucket: int | None = None,
+    solve_stride: int = 1,
 ) -> SlamState:
     """One compiled program: lax.scan over keyframe steps, each step
     processing one keyframe for each of S sessions (see module docstring).
+
+    solve_stride: run the graph solve every `stride` keyframes instead of
+    every keyframe (the standard production-SLAM cadence split: per-scan
+    tracking, periodic optimization). Between solves, new nodes chain on
+    odometry-composed estimates exactly like the online engine between
+    keyframes; the final group's solve still covers the FULL graph, so
+    the returned trajectory is a complete LM solution. Km must divide by
+    the stride (pack to a multiple). 1 = the reference's per-keyframe
+    optimize semantics.
     """
     observe_odom = eng_mod._observe_odometry.__wrapped__
     K1 = 1 + cfg.pose_graph.max_loop_closures_per_node
 
-    def step(states, inp):
-        odom, ranges, valid = inp  # (S, 3), (S, B), (S,)
+    def frontend(states, odom, ranges, valid):
         S = odom.shape[0]
         s1 = jax.vmap(lambda s, o: observe_odom(cfg, s, o))(states, odom)
         s2, icp_in, tgt_idx, tgt_valid, est_pose, new_idx = jax.vmap(
@@ -190,24 +200,61 @@ def _process_sessions_batched(
         res = jax.tree_util.tree_map(
             lambda x: x.reshape((S, K1) + x.shape[1:]), res_flat
         )
-        s3 = jax.vmap(
+        return jax.vmap(
             lambda s, r, ti, tv, ep, ni: eng_mod._keyframe_frontend_post(
                 cfg, s, r, ti, tv, ep, ni
             )
         )(s2, res, tgt_idx, tgt_valid, est_pose, new_idx)
-        s4 = jax.vmap(
+
+    def adopt(valid, new, old):
+        v = valid.reshape(valid.shape + (1,) * (new.ndim - 1))
+        return jnp.where(v, new, old)
+
+    def solve_all(states):
+        return jax.vmap(
             lambda s: eng_mod._keyframe_solve(cfg, s, solve_method, solve_bucket)
-        )(s3)
+        )(states)
 
-        # Padding steps: compute happened, but the state update is dropped.
-        def adopt(new, old):
-            v = valid.reshape(valid.shape + (1,) * (new.ndim - 1))
-            return jnp.where(v, new, old)
+    if solve_stride == 1:
+        def step(states, inp):
+            odom, ranges, valid = inp  # (S, 3), (S, B), (S,)
+            s3 = frontend(states, odom, ranges, valid)
+            s4 = solve_all(s3)
+            # Padding steps: compute happened, the state update is dropped.
+            states = jax.tree_util.tree_map(
+                functools.partial(adopt, valid), s4, states
+            )
+            return states, None
 
-        states = jax.tree_util.tree_map(adopt, s4, states)
+        states, _ = jax.lax.scan(step, states, (kf_odom, kf_scans, kf_valid))
+        return states
+
+    Km = kf_odom.shape[0]
+    assert Km % solve_stride == 0, (Km, solve_stride)
+
+    def group(states, inp):
+        odom_g, ranges_g, valid_g = inp  # (stride, S, ...)
+        for k in range(solve_stride):
+            s3 = frontend(states, odom_g[k], ranges_g[k], valid_g[k])
+            states = jax.tree_util.tree_map(
+                functools.partial(adopt, valid_g[k]), s3, states
+            )
+        # One solve per group; a group with zero live keyframes in a lane
+        # still solves (idempotent on an already-solved lane).
+        solved = solve_all(states)
+        any_valid = jnp.any(valid_g, axis=0)  # (S,)
+        states = jax.tree_util.tree_map(
+            functools.partial(adopt, any_valid), solved, states
+        )
         return states, None
 
-    states, _ = jax.lax.scan(step, states, (kf_odom, kf_scans, kf_valid))
+    def regroup(x):
+        return x.reshape((Km // solve_stride, solve_stride) + x.shape[1:])
+
+    states, _ = jax.lax.scan(
+        group, states,
+        (regroup(kf_odom), regroup(kf_scans), regroup(kf_valid)),
+    )
     return states
 
 
@@ -235,6 +282,7 @@ def process_sessions_batched(
     solve_bucket: int | None = None,
     solve_method: str | None = None,
     use_kernel: bool | None = None,
+    solve_stride: int = 1,
 ) -> tuple[SlamState, list[int]]:
     """Run S independent sessions through the batched keyframe program.
 
@@ -247,6 +295,10 @@ def process_sessions_batched(
         the engine's bucket-based choice.
       use_kernel: force the Pallas ICP path on/off (default: the engine's
         backend-based choice — kernel on real TPU, XLA elsewhere).
+      solve_stride: graph-solve cadence in keyframes (1 = every keyframe,
+        the reference's semantics; >1 = periodic optimization with
+        odometry-chained tracking between solves — the final solve still
+        covers the full graph).
 
     Returns:
       (stacked SlamState with leading axis S, per-session keyframe counts).
@@ -254,6 +306,18 @@ def process_sessions_batched(
     import dataclasses as dc
 
     kf_odom, kf_scans, kf_valid, counts = pack_sessions(cfg, sessions)
+    if solve_stride > 1:
+        pad = (-kf_odom.shape[0]) % solve_stride
+        if pad:
+            kf_odom = np.concatenate(
+                [kf_odom, np.zeros((pad,) + kf_odom.shape[1:], kf_odom.dtype)]
+            )
+            kf_scans = np.concatenate(
+                [kf_scans, np.zeros((pad,) + kf_scans.shape[1:], kf_scans.dtype)]
+            )
+            kf_valid = np.concatenate(
+                [kf_valid, np.zeros((pad,) + kf_valid.shape[1:], bool)]
+            )
     bucket = solve_bucket
     if bucket is None:
         b = 64
@@ -275,6 +339,6 @@ def process_sessions_batched(
     states = _stack_states(cfg, len(sessions))
     states = _process_sessions_batched(
         run_cfg, states, jnp.asarray(kf_odom), jnp.asarray(kf_scans),
-        jnp.asarray(kf_valid), method, bucket,
+        jnp.asarray(kf_valid), method, bucket, solve_stride,
     )
     return states, counts

@@ -132,3 +132,28 @@ def test_batched_tracks_accurately(sessions):
         gt = to_anchor_frame(seq.ground_truth[kf_idx])
         ate = ate_rmse(np.asarray(lane.poses[:n]), gt)
         assert ate < 0.25, f"lane {i} ATE {ate}"
+
+
+def test_batched_solve_stride_accuracy(sessions):
+    """Periodic-solve cadence (solve_stride>1): tracking quality must stay
+    in the per-keyframe-solve class — the final group's solve covers the
+    full graph, so only seeding/candidate quality differs between solves."""
+    cfg, seqs = sessions
+    base_states, _ = batch.process_sessions_batched(
+        cfg, [(s.odometry, s.scans) for s in seqs], use_kernel=False
+    )
+    stride_states, counts = batch.process_sessions_batched(
+        cfg, [(s.odometry, s.scans) for s in seqs], use_kernel=False,
+        solve_stride=4,
+    )
+    for i, seq in enumerate(seqs):
+        base = batch.session_state(base_states, i)
+        lane = batch.session_state(stride_states, i)
+        n = int(lane.num_nodes)
+        assert n == int(base.num_nodes) == counts[i]
+        kf_idx = np.nonzero(batch.keyframe_schedule(cfg, seq.odometry))[0][:n]
+        gt = to_anchor_frame(seq.ground_truth[kf_idx])
+        ate_base = ate_rmse(np.asarray(base.poses[:n]), gt)
+        ate_stride = ate_rmse(np.asarray(lane.poses[:n]), gt)
+        assert ate_stride < 0.25, f"lane {i} stride-4 ATE {ate_stride}"
+        assert ate_stride < ate_base * 1.5 + 0.05, (ate_stride, ate_base)
