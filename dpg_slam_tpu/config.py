@@ -92,7 +92,7 @@ class PoseGraphParams:
     # multiplier * icp_max_correspondence_distance and anneal to 1x over
     # the first 2/3 of iterations, letting ICP recover from seed errors
     # larger than the fine gate (drifted loop-closure seeds). 1.0 disables.
-    icp_error_delta_rel_tol: float = 1e-3
+    icp_error_delta_rel_tol: float = 3e-3
     # Additional convergence exit: a pair also freezes when its fitness
     # (mean squared correspondence distance) improved by less than this
     # RELATIVE amount over one iteration. PCL's own exit is the step
@@ -100,7 +100,11 @@ class PoseGraphParams:
     # oscillate at sub-0.1mm steps with long-stalled error: measured on
     # the reoptimize sweep, 25% of kernel blocks sat at the iteration cap
     # (KBENCH_r03 conclusion) while their transforms had stopped
-    # improving. 0.0 disables (strict PCL-parity exit test).
+    # improving. At 3e-3 the sweep's block-iteration total drops 27.7%
+    # with ZERO acceptance-flag changes and <= 3.1e-3 m transform motion
+    # on accepted pairs (KBENCH_r04; rejected junk pairs move more but
+    # are dropped by the acceptance gates either way). 0.0 disables
+    # (strict PCL-parity exit test).
     icp_min_overlap: float = 0.5
     # Acceptance gate: fraction of valid source points that found a gated,
     # (reciprocal) correspondence. Low-overlap pairs (distant nodes seeing
