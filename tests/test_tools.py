@@ -70,3 +70,33 @@ def test_cpu_baseline_time_runs(capsys):
     outp = capsys.readouterr().out
     assert "native C++ reoptimize:" in outp
     assert "pairs" in outp
+
+
+def test_tpu_tools_parse():
+    """The TPU-only measurement scripts must at least parse (they guard
+    production-path regressions; a syntax error would surface only on
+    bench day otherwise)."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "tools"
+    for name in ("tpu_batch_experiments.py", "profile_batched_solve.py",
+                 "kbench.py", "profile2.py"):
+        ast.parse((root / name).read_text())
+
+
+def test_bench_batched_helpers_cpu():
+    """bench.py's batched-session helpers run end-to-end on CPU: session
+    builder shapes, pack/schedule integration, and the from-scratch
+    native-C++ baseline wrapper."""
+    import bench
+    from dpg_slam_tpu import batch
+
+    cfg = bench._bench_config()
+    sessions, gts = bench.build_batched_sessions(cfg, n_sessions=2, laps=1)
+    assert len(sessions) == len(gts) == 2
+    kf_odom, kf_scans, kf_valid, counts = batch.pack_sessions(cfg, sessions)
+    assert kf_odom.shape[0] == max(counts)
+    assert kf_scans.shape[2] == cfg.scan.num_beams
+    fps = bench.bench_cpu_scratch(cfg, sessions[0])
+    assert fps > 1.0
