@@ -785,60 +785,104 @@ def _build_session_on_cpu(t0):
     return eng
 
 
+def _phase(name, t0, fn, default):
+    """Run one bench phase; on failure note it and return `default` so the
+    artifact still prints (the shared-chip relay has multi-ten-minute
+    wedge episodes — a flaky phase must not cost the whole bench)."""
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001 — degrade, don't die
+        _note(f"PHASE FAILED {name}: {type(e).__name__}: {str(e)[:160]}", t0)
+        return default
+
+
 def main():
     t0 = time.perf_counter()
     cfg = _bench_config()
+    nan = float("nan")
     _note("mosaic kernel smoke test", t0)
-    smoke_ok, smoke_icp, smoke_spd = bench_kernel_smoke()
+    smoke_ok, smoke_icp, smoke_spd = _phase(
+        "kernel_smoke", t0, lambda: bench_kernel_smoke(), (False, nan, nan)
+    )
     _note(
         f"kernel smoke ok={smoke_ok} (icp dev {smoke_icp:.1e}, "
         f"spd dev {smoke_spd:.1e}); acquiring two-pass session", t0,
     )
     eng = _build_session_on_cpu(t0)
     _note(f"session ready ({eng.num_nodes()} nodes); timing TPU reoptimize", t0)
-    tpu_s = bench_reoptimize(cfg, eng)
+    tpu_s = _phase("reoptimize", t0, lambda: bench_reoptimize(cfg, eng), nan)
     _note(f"tpu reoptimize best={tpu_s:.4f}s; device-amortized loop", t0)
-    tpu_dev_s = bench_reoptimize_device(cfg, eng)
+    tpu_dev_s = _phase(
+        "reoptimize_device", t0, lambda: bench_reoptimize_device(cfg, eng), nan
+    )
     _note(
         f"device-amortized reoptimize {tpu_dev_s*1e3:.2f} ms/solve; "
         "timing serial C++ baseline",
         t0,
     )
-    cpu_s, pairs = bench_reoptimize_cpu(cfg, eng)
+    cpu_s, pairs = _phase(
+        "reoptimize_cpu", t0, lambda: bench_reoptimize_cpu(cfg, eng), (nan, 0)
+    )
     _note(f"cpu baseline {cpu_s:.2f}s / {pairs} pairs; pallas parity check", t0)
-    pallas_dev = bench_pallas_parity(cfg, eng)
+    pallas_dev = _phase(
+        "pallas_parity", t0, lambda: bench_pallas_parity(cfg, eng), nan
+    )
     _note(f"pallas max transform deviation {pallas_dev:.2e}; keyframe bench", t0)
-    kf_tpu, kf_off, kf_cpu = bench_keyframe(cfg)
+    kf_tpu, kf_off, kf_cpu = _phase(
+        "keyframe", t0, lambda: bench_keyframe(cfg), (nan, nan, nan)
+    )
     _note(
         f"keyframes/s tpu={kf_tpu:.1f} offline={kf_off:.1f} "
         f"cpu={kf_cpu:.1f}; batched-session throughput", t0,
     )
     sessions, gts = build_batched_sessions(cfg)
-    # Measured configuration (tools/tpu_batch_experiments, 2026-08-21):
-    # dense_cg beats dense under vmap (batched Cholesky + the lock-step
-    # LM chain), and the per-keyframe-solve cadence is latency-bound on
-    # the shared CG chain — the throughput mode solves every 4th keyframe
-    # (periodic-optimization cadence; final solve covers the full graph;
-    # lane ATE recorded below proves full-quality output).
-    kf_batched, kfb_total, kfb_sessions, kfb_secs, kfb_ate = bench_tpu_batched(
-        cfg, sessions, gts, solve_method="dense_cg", solve_stride=4
+
+    def _batched():
+        # Measured configuration (tools/tpu_batch_experiments, 2026-08-21):
+        # dense_cg beats dense under vmap (batched Cholesky + the lock-step
+        # LM chain), and the per-keyframe-solve cadence is latency-bound on
+        # the shared CG chain — the throughput mode solves every 4th
+        # keyframe (periodic-optimization cadence; the final solve covers
+        # the full graph; lane ATE recorded below proves quality held).
+        return bench_tpu_batched(
+            cfg, sessions, gts, solve_method="dense_cg", solve_stride=4
+        )
+
+    kf_batched, kfb_total, kfb_sessions, kfb_secs, kfb_ate = _phase(
+        "batched", t0, _batched, (nan, 0, len(sessions), nan, nan)
     )
-    kf_cpu_scratch = bench_cpu_scratch(cfg, sessions[0])
+    kf_cpu_scratch = _phase(
+        "cpu_scratch", t0, lambda: bench_cpu_scratch(cfg, sessions[0]), nan
+    )
     _note(
         f"batched {kfb_sessions} sessions: {kf_batched:.1f} kf/s aggregate "
         f"({kfb_total} kf in {kfb_secs:.2f}s, mean lane ATE {kfb_ate:.3f} m) "
         f"vs cpu-scratch {kf_cpu_scratch:.1f} kf/s; schur kernel", t0,
     )
-    sk_ms, sku_ms, sx_ms, sk_dev, sku_dev = bench_schur_kernel()
+    sk_ms, sku_ms, sx_ms, sk_dev, sku_dev = _phase(
+        "schur_kernel", t0, lambda: bench_schur_kernel(),
+        (nan, nan, nan, nan, nan),
+    )
     _note(
         f"schur kernel blocked {sk_ms:.2f} ms / unblocked {sku_ms:.2f} ms "
         f"vs xla {sx_ms:.2f} ms (dev {sk_dev:.1e}/{sku_dev:.1e})",
         t0,
     )
 
+    def _sane(obj):
+        """NaN/inf -> null so the artifact stays strict JSON even when a
+        phase failed (json.dumps would emit bare NaN otherwise)."""
+        import math
+
+        if isinstance(obj, dict):
+            return {k: _sane(v) for k, v in obj.items()}
+        if isinstance(obj, float) and not math.isfinite(obj):
+            return None
+        return obj
+
     print(
         json.dumps(
-            {
+            _sane({
                 "metric": "pass_reoptimize_pairs_per_s",
                 "value": round(pairs / tpu_s, 1),
                 "unit": "icp_pairs/s",
@@ -889,7 +933,7 @@ def main():
                 "schur_kernel_unblocked_ms": round(sku_ms, 2),
                 "schur_xla_ms": round(sx_ms, 2),
                 "schur_kernel_dev": float(f"{sk_dev:.3e}"),
-            }
+            })
         )
     )
 
