@@ -258,6 +258,201 @@ def _process_sessions_batched(
     return states
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "solve_method", "solve_bucket")
+)
+def _batched_keyframe_step(
+    cfg: DpgConfig,
+    states: SlamState,        # leading session axis S
+    odom: jnp.ndarray,        # (S, 3)
+    ranges: jnp.ndarray,      # (S, B)
+    valid: jnp.ndarray,       # (S,) lanes executing a keyframe this step
+    solve_method: str,
+    solve_bucket: int | None = None,
+) -> SlamState:
+    """ONE batched keyframe step (the scan-body of the offline program as
+    a standalone jitted call) — used by the online serving layer."""
+    observe_odom = eng_mod._observe_odometry.__wrapped__
+    K1 = 1 + cfg.pose_graph.max_loop_closures_per_node
+    S = odom.shape[0]
+    s1 = jax.vmap(lambda s, o: observe_odom(cfg, s, o))(states, odom)
+    s2, icp_in, tgt_idx, tgt_valid, est_pose, new_idx = jax.vmap(
+        lambda s, r: eng_mod._keyframe_frontend_pre(cfg, s, r)
+    )(s1, ranges)
+
+    def flat(x):
+        return x.reshape((S * K1,) + x.shape[2:])
+
+    res_flat = icp.icp_align(
+        flat(icp_in.src), flat(icp_in.src_mask),
+        flat(icp_in.tgt), flat(icp_in.tgt_mask),
+        flat(icp_in.seeds), cfg.pose_graph,
+        tgt_normals=flat(icp_in.tgt_normals),
+        gate_multiplier=flat(icp_in.gate),
+    )
+    res = jax.tree_util.tree_map(
+        lambda x: x.reshape((S, K1) + x.shape[1:]), res_flat
+    )
+    s3 = jax.vmap(
+        lambda s, r, ti, tv, ep, ni: eng_mod._keyframe_frontend_post(
+            cfg, s, r, ti, tv, ep, ni
+        )
+    )(s2, res, tgt_idx, tgt_valid, est_pose, new_idx)
+    s4 = jax.vmap(
+        lambda s: eng_mod._keyframe_solve(cfg, s, solve_method, solve_bucket)
+    )(s3)
+
+    def adopt(new, old):
+        v = valid.reshape(valid.shape + (1,) * (new.ndim - 1))
+        return jnp.where(v, new, old)
+
+    return jax.tree_util.tree_map(adopt, s4, states)
+
+
+class BatchedSlamServer:
+    """Online multi-stream serving: S concurrent SLAM sessions on one chip.
+
+    The offline batched mode precomputes each stream's keyframe schedule;
+    a server cannot (scans arrive live). Here the keyframe gate runs on
+    the HOST per lane (the same numpy replica `keyframe_schedule` uses —
+    it depends only on odometry), and gated scans are BUFFERED as each
+    lane's pending keyframe. The batched device step executes when enough
+    lanes are pending (``min_batch_fraction``) or any pending lane has
+    waited ``max_wait_calls`` observe() calls — the classic bounded-delay
+    serving batcher: latency bounded by max_wait, throughput from running
+    the step with as many live lanes as possible.
+
+    Non-pending lanes ride along masked (their state update is dropped),
+    so each lane executes exactly its own keyframe schedule regardless of
+    the batching policy; only efficiency depends on it. Lane outputs are
+    the same per-keyframe frontend/solve as the engine's, in the same
+    accuracy class — but not bitwise composition-invariant: the fused ICP
+    batch's whole-batch iteration count perturbs non-converged pairs near
+    acceptance thresholds (deterministic given a batch composition;
+    pinned by tests/test_batch.py's server tests).
+
+    Usage:
+      srv = BatchedSlamServer(cfg, n_sessions=16)
+      for odom, scans in zip(odom_stream, scan_stream):  # (S,3), (S,B)
+          srv.observe(odom, scans)
+      srv.flush()
+      traj = srv.trajectory(i)
+    """
+
+    def __init__(
+        self,
+        config: DpgConfig,
+        n_sessions: int,
+        min_batch_fraction: float = 0.5,
+        max_wait_calls: int = 8,
+        solve_bucket: int | None = None,
+        solve_method: str | None = None,
+        use_kernel: bool | None = None,
+    ):
+        import dataclasses as dc
+
+        self.config = config
+        self.S = n_sessions
+        self.min_batch = max(1, int(np.ceil(min_batch_fraction * n_sessions)))
+        self.max_wait = max_wait_calls
+        self.states = _stack_states(config, n_sessions)
+        self.bucket = solve_bucket or config.capacity.max_nodes
+        self.method = solve_method or _solve_choice(config, self.bucket)
+        pg = config.pose_graph
+        kernel_ok = pg.icp_point_to_line and not pg.icp_use_ransac_rejection
+        if use_kernel is None:
+            use_kernel = jax.default_backend() in ("tpu", "axon") and kernel_ok
+        self._run_cfg = config
+        if use_kernel and kernel_ok and not pg.use_pallas_icp:
+            self._run_cfg = dc.replace(
+                config, pose_graph=dc.replace(pg, use_pallas_icp=True)
+            )
+        B = config.scan.num_beams
+        # Host gate state per lane (keyframe_schedule's recurrence).
+        self._initialized = np.zeros(n_sessions, bool)
+        self._first = np.ones(n_sessions, bool)
+        self._odom_at_last = np.zeros((n_sessions, 3))
+        self._prev_odom = np.zeros((n_sessions, 3))
+        self._cum = np.zeros(n_sessions)
+        # Pending keyframe buffers.
+        self._pend_odom = np.zeros((n_sessions, 3), np.float32)
+        self._pend_scan = np.zeros((n_sessions, B), np.float32)
+        self._pend = np.zeros(n_sessions, bool)
+        self._pend_age = np.zeros(n_sessions, np.int64)
+        self.steps_executed = 0
+        self.keyframes_executed = 0
+
+    def _gate(self, odom: np.ndarray) -> np.ndarray:
+        """Vectorized host keyframe gate update for one (S, 3) odom tick."""
+        pg = self.config.pose_graph
+        init = self._initialized
+        moved = np.hypot(
+            odom[:, 0] - self._prev_odom[:, 0], odom[:, 1] - self._prev_odom[:, 1]
+        )
+        self._cum = np.where(init, self._cum + moved, self._cum)
+        self._odom_at_last = np.where(init[:, None], self._odom_at_last, odom)
+        self._initialized = np.ones_like(init)
+        self._prev_odom = odom.copy()
+        ang = np.abs(np.angle(np.exp(1j * (odom[:, 2] - self._odom_at_last[:, 2]))))
+        gate = self._first | (self._cum > pg.min_dist_between_nodes) | (
+            ang > pg.min_angle_between_nodes
+        )
+        return gate
+
+    def _execute(self) -> None:
+        valid = self._pend.copy()
+        if not valid.any():
+            return
+        self.states = _batched_keyframe_step(
+            self._run_cfg,
+            self.states,
+            jnp.asarray(self._pend_odom),
+            jnp.asarray(self._pend_scan),
+            jnp.asarray(valid),
+            self.method,
+            self.bucket,
+        )
+        # Keyframe bookkeeping for executed lanes (matches _write_node).
+        self._first[valid] = False
+        self._cum[valid] = 0.0
+        self._odom_at_last[valid] = self._pend_odom[valid]
+        self._pend[:] = False
+        self._pend_age[:] = 0
+        self.steps_executed += 1
+        self.keyframes_executed += int(valid.sum())
+
+    def observe(self, odom_batch, scans_batch) -> np.ndarray:
+        """One tick of all S streams: (S, 3) absolute odometry + (S, B)
+        scans. Returns the (S,) bool mask of lanes whose scan was accepted
+        as a keyframe (buffered; executed now or within max_wait calls)."""
+        odom = np.asarray(odom_batch, np.float64).reshape(self.S, 3)
+        scans = np.asarray(scans_batch, np.float32)
+        gate = self._gate(odom)
+        newly = gate & ~self._pend
+        # A lane gating again before its buffered keyframe executed keeps
+        # the NEWEST scan (the buffered one is superseded).
+        self._pend_odom[gate] = odom[gate].astype(np.float32)
+        self._pend_scan[gate] = scans[gate]
+        self._pend |= gate
+        self._pend_age[self._pend] += 1
+        if int(self._pend.sum()) >= self.min_batch or (
+            self._pend.any() and int(self._pend_age.max()) >= self.max_wait
+        ):
+            self._execute()
+        return newly
+
+    def flush(self) -> None:
+        """Execute any buffered keyframes immediately."""
+        self._execute()
+
+    def num_nodes(self, i: int) -> int:
+        return int(self.states.num_nodes[i])
+
+    def trajectory(self, i: int) -> np.ndarray:
+        n = self.num_nodes(i)
+        return np.asarray(self.states.poses[i, :n])
+
+
 def _stack_states(cfg: DpgConfig, n_sessions: int) -> SlamState:
     """S fresh session states stacked along a leading axis."""
     one = eng_mod._init_state(cfg)
