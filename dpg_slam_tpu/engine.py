@@ -434,22 +434,14 @@ def _keyframe_solve(
     pg = cfg.pose_graph
     nb = solve_bucket or state.poses.shape[0]
     graph = state.graph
-    # Edge bucket: a node bucket of nb live nodes can have accumulated at
-    # most nb*(2+K) edges (odometry + successive + K closures per
-    # keyframe), so the solve's per-iteration assemble (one-hot matmuls
-    # over the edge axis) runs on a sliced edge array instead of the full
-    # capacity. Like the node bucket, this is a pure cost optimization:
-    # edge_mask is count-based, so the slice is exact while
-    # num_edges <= eb (guaranteed by nb >= live nodes).
-    eb = min(
-        nb * (2 + pg.max_loop_closures_per_node), graph.edge_idx.shape[0]
-    )
-    if eb < graph.edge_idx.shape[0]:
-        graph = graph._replace(
-            edge_idx=graph.edge_idx[:eb],
-            edge_meas=graph.edge_meas[:eb],
-            edge_sqrt_info=graph.edge_sqrt_info[:eb],
-        )
+    # NOTE (measured 2026-08-21, do not re-add): slicing the factor
+    # arrays to a live-sized edge bucket (edge_idx[:nb*(2+K)] etc.)
+    # before the solve looked like a free assemble-cost win but made the
+    # single-stream solve ~95x SLOWER on the real chip (2.26 ms ->
+    # 214.5 ms at nb=128, eb=1280, A/B in-loop) — the sliced operands
+    # send XLA's TPU lowering down a pathological path. Full-capacity
+    # factor arrays keep the fast form; the masked one-hot contractions
+    # already skip dead slots arithmetically.
     # Unjitted impl: _keyframe_solve is itself always called under jit
     # (directly or inside lax.cond/scan), and tracing a jitted function
     # under cond/scan risks the jax 0.9 buffer-marshaling corruption

@@ -12,14 +12,15 @@ from dpg_slam_tpu.utils.metrics import ate_rmse, to_anchor_frame
 
 
 def small_config(**pg_overrides):
+    pg = dict(
+        icp_max_points=64,
+        icp_maximum_iterations=30,
+        max_loop_closures_per_node=4,
+    )
+    pg.update(pg_overrides)
     return DpgConfig(
         scan=ScanParams(num_beams=256, range_max=10.0),
-        pose_graph=PoseGraphParams(
-            icp_max_points=64,
-            icp_maximum_iterations=30,
-            max_loop_closures_per_node=4,
-            **pg_overrides,
-        ),
+        pose_graph=PoseGraphParams(**pg),
         capacity=CapacityParams(max_nodes=64, max_edges=512, max_priors=8),
     )
 
@@ -159,7 +160,19 @@ def test_batched_solve_stride_accuracy(sessions):
         assert ate_stride < ate_base * 1.5 + 0.05, (ate_stride, ate_base)
 
 
-def test_server_immediate_matches_offline(sessions):
+@pytest.fixture(scope="module")
+def server_sessions():
+    """Denser clouds for the server tests (downsample 2 -> ~128 points):
+    the 51-point clouds of the shared fixture leave near-threshold
+    closures whose accept/reject flips with batch composition — the
+    server's step compositions differ from the offline program's by
+    design, so its tests use registration strong enough that outcomes
+    are composition-stable."""
+    cfg = small_config(downsample_icp_points_ratio=2, icp_max_points=128)
+    return cfg, [_make_session(cfg, seed) for seed in (1, 2)]
+
+
+def test_server_immediate_matches_offline(server_sessions):
     """BatchedSlamServer with immediate execution (min_batch 1 lane):
     every lane keyframes at exactly its offline schedule's ticks, node
     counts match the offline program, and trajectories are in the same
@@ -169,7 +182,7 @@ def test_server_immediate_matches_offline(sessions):
     near acceptance thresholds — deterministic given composition, but not
     composition-invariant. A single-lane server IS bitwise-close to its
     offline run.)"""
-    cfg, seqs = sessions
+    cfg, seqs = server_sessions
     T = min(len(s.scans) for s in seqs)
     srv = batch.BatchedSlamServer(
         cfg, n_sessions=2, min_batch_fraction=1e-9, use_kernel=False,
@@ -199,11 +212,11 @@ def test_server_immediate_matches_offline(sessions):
         assert ate < 0.25, f"lane {i} served ATE {ate}"
 
 
-def test_server_bounded_delay_quality(sessions):
+def test_server_bounded_delay_quality(server_sessions):
     """With real batching (wait for half the lanes or max_wait ticks),
     keyframes execute on the freshest gated scan per lane — trajectories
     stay in the same accuracy class as immediate execution."""
-    cfg, seqs = sessions
+    cfg, seqs = server_sessions
     T = min(len(s.scans) for s in seqs)
     srv = batch.BatchedSlamServer(
         cfg, n_sessions=2, min_batch_fraction=1.0, max_wait_calls=4,
