@@ -258,10 +258,7 @@ def _process_sessions_batched(
     return states
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "solve_method", "solve_bucket")
-)
-def _batched_keyframe_step(
+def _batched_keyframe_step_impl(
     cfg: DpgConfig,
     states: SlamState,        # leading session axis S
     odom: jnp.ndarray,        # (S, 3)
@@ -271,7 +268,8 @@ def _batched_keyframe_step(
     solve_bucket: int | None = None,
 ) -> SlamState:
     """ONE batched keyframe step (the scan-body of the offline program as
-    a standalone jitted call) — used by the online serving layer."""
+    a standalone call) — used by the online serving layer via the
+    AOT-compiled cache below."""
     observe_odom = eng_mod._observe_odometry.__wrapped__
     K1 = 1 + cfg.pose_graph.max_loop_closures_per_node
     S = odom.shape[0]
@@ -307,6 +305,34 @@ def _batched_keyframe_step(
         return jnp.where(v, new, old)
 
     return jax.tree_util.tree_map(adopt, s4, states)
+
+
+# Per-(config, method, bucket, S) AOT-compiled server step. Same jax
+# 0.9.0 defense as engine._dpg_step_fn: once the step's ingredients
+# (_keyframe_frontend_pre/post, _keyframe_solve) have been traced under
+# lax.scan with several configs in one process, later shared-path jit
+# dispatches intermittently mis-marshal lifted consts — observed here as
+# RUN-TO-RUN garbage factor measurements in the server (meters-scale,
+# non-deterministic across identical processes). AOT lowering+compiling
+# pins one executable per signature and bypasses the shared dispatch
+# path entirely.
+_BATCH_STEP_CACHE: dict = {}
+
+
+def _batched_keyframe_step(cfg, states, odom, ranges, valid, solve_method,
+                           solve_bucket):
+    key = (cfg, solve_method, solve_bucket, int(states.poses.shape[0]))
+    compiled = _BATCH_STEP_CACHE.get(key)
+    if compiled is None:
+        fn = jax.jit(
+            functools.partial(
+                _batched_keyframe_step_impl, cfg,
+                solve_method=solve_method, solve_bucket=solve_bucket,
+            )
+        )
+        compiled = fn.lower(states, odom, ranges, valid).compile()
+        _BATCH_STEP_CACHE[key] = compiled
+    return compiled(states, odom, ranges, valid)
 
 
 class BatchedSlamServer:
@@ -403,11 +429,18 @@ class BatchedSlamServer:
         valid = self._pend.copy()
         if not valid.any():
             return
+        # SNAPSHOT the pending buffers (hard-won): jnp.asarray of a numpy
+        # array is ZERO-COPY on the CPU backend, and the compiled step is
+        # dispatched asynchronously — passing the live self._pend_* buffers
+        # let the next observe()'s in-place host mutation race the device
+        # read, producing intermittent meters-scale garbage keyframes
+        # (~40% of runs, load-dependent). The copies are owned by jax for
+        # the call's lifetime and never mutated.
         self.states = _batched_keyframe_step(
             self._run_cfg,
             self.states,
-            jnp.asarray(self._pend_odom),
-            jnp.asarray(self._pend_scan),
+            jnp.asarray(self._pend_odom.copy()),
+            jnp.asarray(self._pend_scan.copy()),
             jnp.asarray(valid),
             self.method,
             self.bucket,

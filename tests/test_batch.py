@@ -162,26 +162,40 @@ def test_batched_solve_stride_accuracy(sessions):
 
 @pytest.fixture(scope="module")
 def server_sessions():
-    """Denser clouds for the server tests (downsample 2 -> ~128 points):
-    the 51-point clouds of the shared fixture leave near-threshold
-    closures whose accept/reject flips with batch composition — the
-    server's step compositions differ from the offline program's by
-    design, so its tests use registration strong enough that outcomes
-    are composition-stable."""
+    """Server-test sessions: denser clouds (downsample 2 -> ~128 points)
+    and mild odometry noise. The server (one jitted step per keyframe)
+    and the offline program (one lax.scan) are DIFFERENT compiled
+    programs, so f32 reduction orders differ at the mm level per node;
+    at the shared fixture's heavy noise that drift can cross a
+    successive-pair alias boundary (always-accepted, reference
+    semantics) and fork the trajectory — program-identity physics, not
+    a serving bug (this host's XLA CPU also splits reductions by
+    runtime thread availability, so even one program is not bitwise
+    run-stable). Mild noise keeps every pair far from alias boundaries
+    so the mechanism comparison is meaningful and the tests
+    deterministic-in-outcome."""
     cfg = small_config(downsample_icp_points_ratio=2, icp_max_points=128)
-    return cfg, [_make_session(cfg, seed) for seed in (1, 2)]
+    world = dataset.make_office_world()
+    wps = dataset.office_loop_waypoints()
+    seqs = [
+        dataset.simulate_sequence(
+            world, wps, cfg.scan, step=0.5, seed=seed,
+            odom_noise_transl=0.003, odom_noise_rot=0.001,
+        )
+        for seed in (1, 2)
+    ]
+    return cfg, seqs
 
 
 def test_server_immediate_matches_offline(server_sessions):
-    """BatchedSlamServer with immediate execution (min_batch 1 lane):
-    every lane keyframes at exactly its offline schedule's ticks, node
-    counts match the offline program, and trajectories are in the same
-    accuracy class. (Bitwise trajectory parity is NOT asserted: the fused
-    ICP batch's composition differs between server steps and offline
-    steps, and whole-batch iteration counts perturb non-converged pairs
-    near acceptance thresholds — deterministic given composition, but not
-    composition-invariant. A single-lane server IS bitwise-close to its
-    offline run.)"""
+    """BatchedSlamServer mechanics vs the offline program: every lane
+    keyframes at exactly its offline schedule's ticks, node and factor
+    counts match, and trajectories land in the engine's accuracy class.
+
+    (Historical note: this test once flaked at meters scale — the cause
+    was a real async-aliasing race in the server, since fixed: live
+    numpy buffers were passed zero-copy into the dispatched step and
+    mutated by the next observe(). See BatchedSlamServer._execute.)"""
     cfg, seqs = server_sessions
     T = min(len(s.scans) for s in seqs)
     srv = batch.BatchedSlamServer(
@@ -207,9 +221,23 @@ def test_server_immediate_matches_offline(server_sessions):
         sched = np.nonzero(batch.keyframe_schedule(cfg, seq.odometry[:T]))[0]
         assert ticks[i] == list(sched)
         assert srv.num_nodes(i) == counts[i]
-        gt = to_anchor_frame(seq.ground_truth[sched])
-        ate = ate_rmse(srv.trajectory(i), gt)
-        assert ate < 0.25, f"lane {i} served ATE {ate}"
+        lane = batch.session_state(off_states, i)
+        assert int(srv.states.graph.num_priors[i]) == int(lane.graph.num_priors)
+        np.testing.assert_array_equal(
+            np.asarray(srv.states.odom_poses[i, : counts[i]]),
+            np.asarray(lane.odom_poses[: counts[i]]),
+            err_msg=f"lane {i} fed different odometry than the offline run",
+        )
+        # Closure acceptance may differ by a couple of factors (the
+        # server's fused-batch compositions differ from the offline
+        # program's), but trajectories must agree closely.
+        assert abs(
+            int(srv.states.graph.num_edges[i]) - int(lane.graph.num_edges)
+        ) <= 4
+        np.testing.assert_allclose(
+            srv.trajectory(i), np.asarray(lane.poses[: counts[i]]), atol=2e-2,
+            err_msg=f"lane {i} server trajectory diverged from offline",
+        )
 
 
 def test_server_bounded_delay_quality(server_sessions):
