@@ -37,6 +37,17 @@ padding steps compute and are then discarded with a masked state adopt
 (the pad fraction is small when sessions are similar lengths, and the
 alternative — a cond — would not skip work under vmap anyway).
 
+Measured cost structure on the real chip (2026-08-21, S=16, bucket 128):
+at solve-per-keyframe cadence the vmapped LM/CG solve dominates (~85% of
+step time); at the stride-4 cadence the end-to-end step is ~1.6 ms/kf
+and the isolated stages upper-bound at pre 0.98 / fused-ICP 2.04 / post
+1.09 / solve-amortized ~0.3 ms per keyframe (isolated loops exceed the
+scheduled whole — XLA overlaps the stages). Lane/cadence sweep: S=16 is
+the throughput knee (S=24: 510, S=32: 498 vs 617-703 kf/s) and stride 8
+compiles to a pathological program — S=16/stride-4 is the recorded
+optimum; the next levers are the fused-ICP packing path and the
+lock-step solve chain.
+
 Semantics: each lane is bit-for-bit the engine's keyframe pipeline (same
 frontend, same solve); parity vs engine.process_sequence is pinned by
 tests/test_batch.py::test_batched_matches_sequential.
