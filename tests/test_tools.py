@@ -100,3 +100,22 @@ def test_bench_batched_helpers_cpu():
     assert kf_scans.shape[2] == cfg.scan.num_beams
     fps = bench.bench_cpu_scratch(cfg, sessions[0])
     assert fps > 1.0
+
+
+def test_bench_phase_degrades_to_default(capsys):
+    """A failing bench phase must contribute its default and not raise
+    (the artifact survives relay wedge episodes)."""
+    import time
+
+    import bench
+
+    t0 = time.perf_counter()
+
+    def boom():
+        raise RuntimeError("relay wedged")
+
+    out = bench._phase("demo", t0, boom, (float("nan"), 0))
+    assert out == (out[0], 0) and out[0] != out[0]  # nan default passthrough
+    err = capsys.readouterr().err
+    assert "PHASE FAILED demo" in err and "relay wedged" in err
+    assert bench._phase("ok", t0, lambda: 7, None) == 7
