@@ -92,6 +92,16 @@ class PoseGraphParams:
     # multiplier * icp_max_correspondence_distance and anneal to 1x over
     # the first 2/3 of iterations, letting ICP recover from seed errors
     # larger than the fine gate (drifted loop-closure seeds). 1.0 disables.
+    icp_anneal_iters: int | None = 10
+    # Coarse-to-fine gate annealing length in ITERATIONS (None = the
+    # legacy 2/3 * max_iterations rule). Annealing HOLDS drifted-seed
+    # closure pairs active through the schedule (a coarse-gate optimum is
+    # not convergence), so its length is a floor on every closure pair's
+    # iteration count — at the 2/3 rule that was 20 of 30 iterations even
+    # for instantly-converging pairs, dominating the online frontend's
+    # kernel time. 10 iterations anneal the 3x coarse gate to fine in
+    # ~0.2-gate steps, preserving the drift-recovery mechanism (suite ATE
+    # unchanged; tests) at half the held iterations.
     icp_error_delta_rel_tol: float = 3e-3
     # Additional convergence exit: a pair also freezes when its fitness
     # (mean squared correspondence distance) improved by less than this

@@ -471,6 +471,7 @@ def _icp_iteration(
         "ransac_iterations",
         "ransac_threshold",
         "error_delta_rel_tol",
+        "anneal_iters_cfg",
         "fixed_covariance",
         "covariance_mode",
         "sigmas",
@@ -499,6 +500,7 @@ def _icp_align_impl(
     ransac_iterations: int,
     ransac_threshold: float,
     error_delta_rel_tol: float,
+    anneal_iters_cfg: int | None,
     fixed_covariance: bool,
     covariance_mode: str,
     sigmas: tuple[float, float, float],
@@ -526,7 +528,11 @@ def _icp_align_impl(
     # scans) should pass multiplier 1.0 — a wide gate admits wrong far
     # matches that drag degenerate (corridor) geometry off a perfect seed.
     # Acceptance (overlap/fitness) is judged on the final, fine gate.
-    anneal_iters = max(1, (2 * max_iterations) // 3)
+    anneal_iters = (
+        max(1, min(anneal_iters_cfg, max_iterations))
+        if anneal_iters_cfg is not None
+        else max(1, (2 * max_iterations) // 3)
+    )
 
     def cond(carry):
         state, it = carry
@@ -715,6 +721,7 @@ def icp_align(
         ),
         ransac_threshold=params.ransac_outlier_rejection_threshold,
         error_delta_rel_tol=getattr(params, "icp_error_delta_rel_tol", 0.0),
+        anneal_iters_cfg=getattr(params, "icp_anneal_iters", None),
         fixed_covariance=params.use_fixed_icp_covariance,
         covariance_mode=getattr(params, "icp_covariance_mode", "gn"),
         sigmas=(

@@ -387,17 +387,21 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "max_iterations", "max_corr", "reciprocal", "epsilon", "censi",
-        "error_delta_rel_tol", "interpret", "variant",
+        "error_delta_rel_tol", "anneal_iters_cfg", "interpret", "variant",
     ),
 )
 def _run_kernel(
     planes, seeds,
     *, max_iterations, max_corr, reciprocal, epsilon, censi, interpret,
-    error_delta_rel_tol=0.0, variant="jt",
+    error_delta_rel_tol=0.0, anneal_iters_cfg=None, variant="jt",
 ):
     B, P = planes[0].shape
     assert B % _G == 0
-    anneal_iters = max(1, (2 * max_iterations) // 3)
+    anneal_iters = (
+        max(1, min(anneal_iters_cfg, max_iterations))
+        if anneal_iters_cfg is not None
+        else max(1, (2 * max_iterations) // 3)
+    )
     kernel = functools.partial(
         _kernel,
         P=P,
@@ -497,6 +501,7 @@ def icp_align_pallas(
         epsilon=params.icp_maximum_transformation_epsilon,
         censi=censi_mode,
         error_delta_rel_tol=getattr(params, "icp_error_delta_rel_tol", 0.0),
+        anneal_iters_cfg=getattr(params, "icp_anneal_iters", None),
         interpret=interpret,
     )[:B0]
     init_guess = init_guess[:B0]
