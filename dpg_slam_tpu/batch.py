@@ -133,18 +133,35 @@ def pack_sessions(
       (kf_odom (Km, S, 3) f32, kf_scans (Km, S, B) f32, kf_valid (Km, S)
       bool, counts (S,) int list) — host numpy arrays.
     """
-    cap = cfg.capacity.max_nodes if max_keyframes is None else max_keyframes
+    cap_nodes = cfg.capacity.max_nodes if max_keyframes is None else max_keyframes
     edges_worst = 2 + cfg.pose_graph.max_loop_closures_per_node
-    cap = min(cap, cfg.capacity.max_edges // edges_worst)
+    # CONSERVATIVE edge budget: worst-case edge consumption per keyframe
+    # (1 successive + K closures + prior slack), not the actual accepted
+    # count the engine's live capacity gate checks — so on edge-tight
+    # configs batched lanes can truncate EARLIER than the sequential
+    # engine would. Warned below when this cap (not node capacity) binds.
+    edges_cap = cfg.capacity.max_edges // edges_worst
+    cap = min(cap_nodes, edges_cap)
     B = cfg.scan.num_beams
     kf_os, kf_ss, counts = [], [], []
-    for odom, scans in sessions:
+    for si, (odom, scans) in enumerate(sessions):
         odom = np.asarray(odom, np.float32)
         scans = np.asarray(scans, np.float32)
         if scans.shape[1] != B:
             raise ValueError(f"expected (T, {B}) scans, got {scans.shape}")
         m = keyframe_schedule(cfg, odom)
-        idx = np.nonzero(m)[0][:cap]
+        idx_all = np.nonzero(m)[0]
+        if len(idx_all) > cap and edges_cap < cap_nodes:
+            import warnings
+
+            warnings.warn(
+                f"pack_sessions: session {si} truncated to {cap} keyframes "
+                f"by the worst-case edge budget (max_edges // {edges_worst}); "
+                "the sequential engine's live gate may have accepted more — "
+                "raise capacity.max_edges for exact per-lane parity",
+                stacklevel=2,
+            )
+        idx = idx_all[:cap]
         kf_os.append(odom[idx])
         kf_ss.append(scans[idx])
         counts.append(len(idx))
@@ -416,6 +433,11 @@ class BatchedSlamServer:
         self._pend_scan = np.zeros((n_sessions, B), np.float32)
         self._pend = np.zeros(n_sessions, bool)
         self._pend_age = np.zeros(n_sessions, np.int64)
+        # Gate-distance snapshot at buffering time: distance traveled
+        # between a keyframe's buffering tick and its (possibly delayed)
+        # execution must count toward the NEXT keyframe's distance gate,
+        # exactly as the offline schedule's immediate reset would have it.
+        self._pend_cum = np.zeros(n_sessions)
         self.steps_executed = 0
         self.keyframes_executed = 0
 
@@ -457,8 +479,12 @@ class BatchedSlamServer:
             self.bucket,
         )
         # Keyframe bookkeeping for executed lanes (matches _write_node).
+        # _cum rebases to the distance accumulated SINCE the buffered
+        # keyframe's tick (snapshot taken at buffering), so a delayed
+        # execution does not silently drop travel toward the next gate.
         self._first[valid] = False
-        self._cum[valid] = 0.0
+        self._cum[valid] = np.maximum(self._cum[valid] - self._pend_cum[valid], 0.0)
+        self._pend_cum[valid] = 0.0
         self._odom_at_last[valid] = self._pend_odom[valid]
         self._pend[:] = False
         self._pend_age[:] = 0
@@ -477,6 +503,7 @@ class BatchedSlamServer:
         # the NEWEST scan (the buffered one is superseded).
         self._pend_odom[gate] = odom[gate].astype(np.float32)
         self._pend_scan[gate] = scans[gate]
+        self._pend_cum[gate] = self._cum[gate]
         self._pend |= gate
         self._pend_age[self._pend] += 1
         if int(self._pend.sum()) >= self.min_batch or (
@@ -511,7 +538,12 @@ def session_state(states: SlamState, i: int) -> SlamState:
 
 
 def _solve_choice(cfg: DpgConfig, bucket: int) -> str:
-    """Mirror DpgSlamEngine's incremental-solver choice at a fixed bucket."""
+    """Mirror DpgSlamEngine's incremental-solver choice at a fixed bucket:
+    block-sparse CG at very large static capacities (the O(N*E) dense
+    assemble is the engine's documented cliff, engine.__init__), dense
+    Cholesky for small buckets, dense-matvec PCG between."""
+    if cfg.capacity.max_nodes > 1024:
+        return "cg"
     return "dense" if bucket <= 256 else "dense_cg"
 
 

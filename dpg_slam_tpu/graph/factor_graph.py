@@ -346,13 +346,14 @@ def _assemble(
     #
     # CAPACITY BOUND: the one-hot operands are O(N*E) floats (default
     # 512x8192 ~ 16 MB; _dense_H's 3-operand contraction peaks at the
-    # same scale). This is sized for the engine's bucketed solves — the
-    # per-keyframe path slices both the node bucket AND the edge bucket
-    # (engine._keyframe_solve, eb = nb*(2+K)) before calling here, so the
-    # product tracks the LIVE graph. Callers assembling at much larger
-    # static capacities (max_nodes >> 1k with full edge capacity) should
-    # use method="cg" (block-sparse matvec, no dense H) — the engine does
-    # this automatically — or slice the factor arrays like the engine.
+    # same scale). The per-keyframe path slices ONLY the node bucket —
+    # factor arrays stay at full edge capacity (slicing them to
+    # eb = nb*(2+K) was measured 95x SLOWER on the real chip and
+    # reverted in d898ced; see engine._keyframe_solve's NOTE). Right-size
+    # cfg.capacity.max_edges to the workload instead. Callers assembling
+    # at much larger static capacities (max_nodes >> 1k) should use
+    # method="cg" (block-sparse matvec, no dense H) — the engine does
+    # this automatically.
     i_idx = g.edge_idx[:, 0]
     j_idx = g.edge_idx[:, 1]
     ar = jnp.arange(N)

@@ -23,6 +23,7 @@ return ordinary arrays (replicated outputs).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -392,9 +393,10 @@ def distributed_reoptimize(
     live = np.nonzero(valid_h)[0]
     is_succ = (live % (1 + K)) == 0
     order = np.concatenate([live[is_succ], live[~is_succ]])
-    blk = 64
-    while blk % n != 0:
-        blk *= 2
+    # Kernel-block- AND mesh-divisible padding unit: lcm(64, n). Doubling
+    # 64 would never terminate for mesh sizes with odd prime factors
+    # (n=3, 6, ...).
+    blk = 64 * n // math.gcd(64, n)
     B = max(blk, -(-len(order) // blk) * blk)
     compact_idx = np.zeros((B,), np.int32)
     compact_idx[: len(order)] = order
