@@ -64,6 +64,7 @@ import numpy as np
 from dpg_slam_tpu import engine as eng_mod
 from dpg_slam_tpu.config import DpgConfig
 from dpg_slam_tpu.engine import SlamState
+from dpg_slam_tpu.graph import factor_graph as fg
 from dpg_slam_tpu.ops import icp
 
 __all__ = [
@@ -178,9 +179,51 @@ def pack_sessions(
     return kf_odom, kf_scans, kf_valid, counts
 
 
+def _batched_solve(
+    cfg: DpgConfig,
+    states: SlamState,        # leading session axis S
+    solve_method: str,        # "lanes_cg" | "lanes_chol" (solve_batched)
+    solve_bucket: int | None,
+    gn_iterations: int | None = None,
+    cg_iterations: int | None = None,
+) -> SlamState:
+    """The lanes-batched incremental solve (fg.solve_batched) over the
+    stacked states — the throughput mode's replacement for
+    jax.vmap(engine._keyframe_solve), whose lock-step vmapped while_loop
+    was measured at ~85% of a per-keyframe-cadence batched step
+    (BASELINE.md). Same warm-start settings as the engine's solve."""
+    pg = cfg.pose_graph
+    nb = solve_bucket or states.poses.shape[1]
+    node_mask = jnp.arange(nb) < states.num_nodes[:, None]
+    poses_b, _ = fg.solve_batched.__wrapped__(
+        states.poses[:, :nb],
+        states.graph,
+        node_mask,
+        max_iterations=(
+            gn_iterations
+            if gn_iterations is not None
+            else pg.incremental_gn_iterations
+        ),
+        damping_init=pg.gn_damping_init,
+        method="chol" if solve_method == "lanes_chol" else "cg_fixed",
+        cg_iterations=(
+            cg_iterations if cg_iterations is not None else 12
+        ),
+        robust_delta=pg.robust_delta,
+        gradient_tol=pg.gn_gradient_tol,
+        terminate_on_reject=True,
+        rel_tol=1e-4,
+    )
+    poses = jax.lax.dynamic_update_slice(states.poses, poses_b, (0, 0, 0))
+    return states._replace(poses=poses)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "solve_method", "solve_bucket", "solve_stride"),
+    static_argnames=(
+        "cfg", "solve_method", "solve_bucket", "solve_stride",
+        "solve_gn_iterations", "solve_cg_iterations",
+    ),
 )
 def _process_sessions_batched(
     cfg: DpgConfig,
@@ -191,6 +234,8 @@ def _process_sessions_batched(
     solve_method: str,
     solve_bucket: int | None = None,
     solve_stride: int = 1,
+    solve_gn_iterations: int | None = None,
+    solve_cg_iterations: int | None = None,
 ) -> SlamState:
     """One compiled program: lax.scan over keyframe steps, each step
     processing one keyframe for each of S sessions (see module docstring).
@@ -239,6 +284,11 @@ def _process_sessions_batched(
         return jnp.where(v, new, old)
 
     def solve_all(states):
+        if solve_method.startswith("lanes"):
+            return _batched_solve(
+                cfg, states, solve_method, solve_bucket,
+                solve_gn_iterations, solve_cg_iterations,
+            )
         return jax.vmap(
             lambda s: eng_mod._keyframe_solve(cfg, s, solve_method, solve_bucket)
         )(states)
@@ -324,9 +374,12 @@ def _batched_keyframe_step_impl(
             cfg, s, r, ti, tv, ep, ni
         )
     )(s2, res, tgt_idx, tgt_valid, est_pose, new_idx)
-    s4 = jax.vmap(
-        lambda s: eng_mod._keyframe_solve(cfg, s, solve_method, solve_bucket)
-    )(s3)
+    if solve_method.startswith("lanes"):
+        s4 = _batched_solve(cfg, s3, solve_method, solve_bucket)
+    else:
+        s4 = jax.vmap(
+            lambda s: eng_mod._keyframe_solve(cfg, s, solve_method, solve_bucket)
+        )(s3)
 
     def adopt(new, old):
         v = valid.reshape(valid.shape + (1,) * (new.ndim - 1))
@@ -538,13 +591,16 @@ def session_state(states: SlamState, i: int) -> SlamState:
 
 
 def _solve_choice(cfg: DpgConfig, bucket: int) -> str:
-    """Mirror DpgSlamEngine's incremental-solver choice at a fixed bucket:
-    block-sparse CG at very large static capacities (the O(N*E) dense
-    assemble is the engine's documented cliff, engine.__init__), dense
-    Cholesky for small buckets, dense-matvec PCG between."""
+    """Default batched-solver choice: the lanes-batched fixed-iteration
+    LM (fg.solve_batched) — "lanes_chol" at small buckets where the
+    batched XLA Cholesky is exact-engine-parity cheap, "lanes_cg" above.
+    At very large static capacities fall back to the engine's
+    block-sparse CG under vmap (the O(N*E) dense assemble is the
+    documented cliff, engine.__init__). The r4-era vmapped-while_loop
+    path remains reachable via explicit "dense"/"dense_cg"."""
     if cfg.capacity.max_nodes > 1024:
         return "cg"
-    return "dense" if bucket <= 256 else "dense_cg"
+    return "lanes_chol" if bucket <= 128 else "lanes_cg"
 
 
 def process_sessions_batched(
@@ -554,6 +610,8 @@ def process_sessions_batched(
     solve_method: str | None = None,
     use_kernel: bool | None = None,
     solve_stride: int = 1,
+    solve_gn_iterations: int | None = None,
+    solve_cg_iterations: int | None = None,
 ) -> tuple[SlamState, list[int]]:
     """Run S independent sessions through the batched keyframe program.
 
@@ -562,8 +620,13 @@ def process_sessions_batched(
       solve_bucket: static node bucket for the per-keyframe solve
         (defaults to the smallest engine bucket covering the longest
         session's keyframe count).
-      solve_method: linear solver ("dense"/"dense_cg"/"cg"); defaults to
-        the engine's bucket-based choice.
+      solve_method: "lanes_chol"/"lanes_cg" (the lanes-batched LM,
+        fg.solve_batched — the default via _solve_choice) or
+        "dense"/"dense_cg"/"cg" (the engine solver under jax.vmap — the
+        r4-era lock-step path, kept for A/B).
+      solve_gn_iterations / solve_cg_iterations: lanes-solver iteration
+        caps (default: cfg incremental_gn_iterations / 12). The bench
+        pins lane ATE at its chosen values.
       use_kernel: force the Pallas ICP path on/off (default: the engine's
         backend-based choice — kernel on real TPU, XLA elsewhere).
       solve_stride: graph-solve cadence in keyframes (1 = every keyframe,
@@ -611,5 +674,6 @@ def process_sessions_batched(
     states = _process_sessions_batched(
         run_cfg, states, jnp.asarray(kf_odom), jnp.asarray(kf_scans),
         jnp.asarray(kf_valid), method, bucket, solve_stride,
+        solve_gn_iterations, solve_cg_iterations,
     )
     return states, counts

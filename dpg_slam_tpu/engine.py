@@ -298,19 +298,22 @@ def _add_observation_factors(
 ) -> fg.FactorGraph:
     """Add between-factors from an ICP batch (addObservationConstraint,
     dpg_slam.cc:331-338). Slot 0 (successive) is added regardless of
-    convergence (dpg_slam.cc:264-267); closures only when converged."""
+    convergence (dpg_slam.cc:264-267); closures only when converged.
+    All 1+K insertions happen as ONE batched scatter (same slot packing
+    as sequential add_between calls)."""
     n_pairs = tgt_idx.shape[0]
     sqrt_infos = jax.vmap(fg.sqrt_info_from_covariance)(res.covariance)
-
-    def body(g, k):
-        keep = jnp.where(k == 0, tgt_valid[k], tgt_valid[k] & res.converged[k])
-        g = fg.add_between(
-            g, tgt_idx[k], new_idx, res.transform[k], sqrt_infos[k], valid=keep
-        )
-        return g, None
-
-    graph, _ = jax.lax.scan(body, graph, jnp.arange(n_pairs))
-    return graph
+    keep = jnp.where(
+        jnp.arange(n_pairs) == 0, tgt_valid, tgt_valid & res.converged
+    )
+    return fg.add_between_batch(
+        graph,
+        tgt_idx,
+        jnp.broadcast_to(new_idx, (n_pairs,)),
+        res.transform,
+        sqrt_infos,
+        keep,
+    )
 
 
 def _keyframe_frontend_pre(cfg: DpgConfig, state: SlamState, ranges: jnp.ndarray):

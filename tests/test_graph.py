@@ -143,3 +143,81 @@ def test_dense_pallas_matches_dense_at_blocked_size():
     ref, _ = fg.solve(init, g, mask, method="dense", max_iterations=15)
     got, _ = fg.solve(init, g, mask, method="dense_pallas", max_iterations=15)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
+def _stack_graphs(gs):
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *gs)
+
+
+def _perturbed_fixtures(n_lanes, seed=7):
+    """S copies of the gtsam fixture with per-lane perturbed inits and
+    measurement noise (distinct LM trajectories per lane)."""
+    rng = np.random.default_rng(seed)
+    gs, inits, masks = [], [], []
+    for _ in range(n_lanes):
+        g, init, mask = build_gtsam_fixture()
+        g = g._replace(
+            edge_meas=g.edge_meas
+            + jnp.asarray(rng.normal(0, 0.02, g.edge_meas.shape), jnp.float32)
+        )
+        init = init + jnp.asarray(rng.normal(0, 0.3, init.shape), jnp.float32)
+        gs.append(g)
+        inits.append(init)
+        masks.append(mask)
+    return _stack_graphs(gs), jnp.stack(inits), jnp.stack(masks)
+
+
+def test_solve_batched_matches_per_lane_solve():
+    """solve_batched (lanes-batched unrolled LM) reaches the same optima
+    as per-lane fg.solve on perturbed copies of the gtsam fixture."""
+    S = 4
+    gb, initb, maskb = _perturbed_fixtures(S)
+    ref = []
+    for i in range(S):
+        import jax
+
+        g_i = jax.tree_util.tree_map(lambda x: x[i], gb)
+        p, _ = fg.solve(
+            initb[i], g_i, maskb[i], method="dense", max_iterations=30,
+            robust_delta=2.0,
+        )
+        ref.append(np.asarray(p))
+    for method in ("chol", "cg_fixed"):
+        got, stats = fg.solve_batched(
+            initb, gb, maskb, max_iterations=30, method=method,
+            cg_iterations=24, robust_delta=2.0,
+        )
+        got = np.asarray(got)
+        for i in range(S):
+            d = np.abs(got[i, :5] - ref[i][:5])
+            d[:, 2] = np.abs(np.angle(np.exp(1j * (got[i, :5, 2] - ref[i][:5, 2]))))
+            assert d.max() < 2e-3, (method, i, d.max())
+        assert np.all(np.asarray(stats.final_error) <= np.asarray(stats.initial_error))
+
+
+def test_solve_batched_warm_semantics_match_solve():
+    """At the engine's warm-start settings (terminate_on_reject,
+    gradient_tol, rel_tol) the batched solver's per-lane freeze matches
+    fg.solve's early exit: an already-converged lane's poses move ~0."""
+    S = 3
+    gb, initb, maskb = _perturbed_fixtures(S, seed=11)
+    import jax
+
+    # Pre-converge every lane, then re-solve warm with both solvers.
+    warm, _ = fg.solve_batched(
+        initb, gb, maskb, max_iterations=30, method="chol", robust_delta=2.0
+    )
+    kwargs = dict(
+        max_iterations=5, robust_delta=2.0, gradient_tol=1e-4,
+        terminate_on_reject=True, rel_tol=1e-4,
+    )
+    got, stats = fg.solve_batched(warm, gb, maskb, method="chol", **kwargs)
+    for i in range(S):
+        g_i = jax.tree_util.tree_map(lambda x: x[i], gb)
+        ref, rstats = fg.solve(warm[i], g_i, maskb[i], method="dense", **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(got[i]), np.asarray(ref), atol=1e-5,
+            err_msg=f"lane {i} warm re-solve diverged",
+        )
