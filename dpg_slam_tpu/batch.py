@@ -222,7 +222,7 @@ def _batched_solve(
     jax.jit,
     static_argnames=(
         "cfg", "solve_method", "solve_bucket", "solve_stride",
-        "solve_gn_iterations", "solve_cg_iterations",
+        "solve_gn_iterations", "solve_cg_iterations", "run_dpg",
     ),
 )
 def _process_sessions_batched(
@@ -236,6 +236,7 @@ def _process_sessions_batched(
     solve_stride: int = 1,
     solve_gn_iterations: int | None = None,
     solve_cg_iterations: int | None = None,
+    run_dpg: bool = False,
 ) -> SlamState:
     """One compiled program: lax.scan over keyframe steps, each step
     processing one keyframe for each of S sessions (see module docstring).
@@ -293,6 +294,20 @@ def _process_sessions_batched(
             lambda s: eng_mod._keyframe_solve(cfg, s, solve_method, solve_bucket)
         )(states)
 
+    def dpg_all(states, valid):
+        # Per-keyframe change detection, vmapped over lanes — the batched
+        # analog of the engine running executeDPG on every accepted node
+        # once pass >= 1 (dpg_slam.cc:137-139, 865-886). Static flag: a
+        # pass-0 phase compiles without any of this.
+        from dpg_slam_tpu.dpg import change_detection
+
+        s5, _info = jax.vmap(
+            lambda s: change_detection.execute_dpg.__wrapped__(cfg, s)
+        )(states)
+        return jax.tree_util.tree_map(
+            functools.partial(adopt, valid), s5, states
+        )
+
     if solve_stride == 1:
         def step(states, inp):
             odom, ranges, valid = inp  # (S, 3), (S, B), (S,)
@@ -302,6 +317,8 @@ def _process_sessions_batched(
             states = jax.tree_util.tree_map(
                 functools.partial(adopt, valid), s4, states
             )
+            if run_dpg:
+                states = dpg_all(states, valid)
             return states, None
 
         states, _ = jax.lax.scan(step, states, (kf_odom, kf_scans, kf_valid))
@@ -317,6 +334,8 @@ def _process_sessions_batched(
             states = jax.tree_util.tree_map(
                 functools.partial(adopt, valid_g[k]), s3, states
             )
+            if run_dpg:
+                states = dpg_all(states, valid_g[k])
         # One solve per group; a group with zero live keyframes in a lane
         # still solves (idempotent on an already-solved lane).
         solved = solve_all(states)
@@ -416,6 +435,194 @@ def _batched_keyframe_step(cfg, states, odom, ranges, valid, solve_method,
     return compiled(states, odom, ranges, valid)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "solve_method", "nb")
+)
+def _batched_reoptimize(
+    cfg: DpgConfig,
+    states: SlamState,          # leading session axis S
+    compact_idx: jnp.ndarray,   # (S, B) per-lane compacted pair indices
+    compact_valid: jnp.ndarray, # (S, B)
+    solve_method: str,
+    nb: int,
+):
+    """Pass-boundary reoptimize for all lanes as ONE compiled program:
+    jax.vmap of the engine's _reoptimize_sliced (bucket slicing, the
+    compacted ICP sweep, graph re-pack, cold LM solve). Returns
+    (poses (S, N, 3), graph, n_edge_cand (S,))."""
+    return jax.vmap(
+        lambda s, ci, cv: eng_mod._reoptimize_sliced(
+            cfg, s, ci, cv, solve_method, nb
+        )
+    )(states, compact_idx, compact_valid)
+
+
+def batched_increment_pass(
+    cfg: DpgConfig,
+    states: SlamState,
+    solve_method: str = "dense",
+    use_kernel: bool | None = None,
+) -> SlamState:
+    """Per-lane increment_pass for the stacked states: the batched analog
+    of the runner's pass handshake (dpg_data_runner_main.cc:30-52) —
+    every lane's pass-boundary reoptimize runs in one vmapped program,
+    then pass bookkeeping resets (pass_number+1, first-scan flag,
+    odometry re-anchor) exactly like DpgSlamEngine.increment_pass.
+
+    Host work mirrors the engine's dispatch discipline: ONE device_get
+    (num_nodes/poses/pass_ids for all lanes), per-lane host compaction
+    padded to a common pair bucket, then ONE compiled program."""
+    import dataclasses as dc
+
+    S = states.poses.shape[0]
+    num_nodes, poses_h, pass_ids_h = (
+        np.asarray(x)
+        for x in jax.device_get((states.num_nodes, states.poses, states.pass_ids))
+    )
+    nb = 64
+    n_max = int(num_nodes.max())
+    while nb < n_max:
+        nb *= 2
+    nb = min(nb, cfg.capacity.max_nodes)
+
+    idxs, vals, lives = [], [], []
+    for s in range(S):
+        idx, val, n_live = eng_mod._reoptimize_compaction_host(
+            cfg, poses_h[s, :nb], pass_ids_h[s, :nb], int(num_nodes[s]), nb
+        )
+        idxs.append(idx)
+        vals.append(val)
+        lives.append(n_live)
+    B = max(x.shape[0] for x in idxs)
+    ci = np.zeros((S, B), np.int32)
+    cv = np.zeros((S, B), bool)
+    for s in range(S):
+        ci[s, : idxs[s].shape[0]] = idxs[s]
+        cv[s, : vals[s].shape[0]] = vals[s]
+
+    run_cfg = cfg
+    pg = cfg.pose_graph
+    kernel_ok = pg.icp_point_to_line and not pg.icp_use_ransac_rejection
+    if use_kernel is None:
+        use_kernel = jax.default_backend() in ("tpu", "axon") and kernel_ok
+    if use_kernel and kernel_ok and not pg.use_pallas_icp:
+        run_cfg = dc.replace(cfg, pose_graph=dc.replace(pg, use_pallas_icp=True))
+
+    new_poses, new_graph, n_edge_cand = _batched_reoptimize(
+        run_cfg, states, jnp.asarray(ci), jnp.asarray(cv), solve_method, nb
+    )
+    # Loud overflow check (engine._check_edge_overflow semantics), with
+    # the engine's host-side bound to avoid a device sync when provable.
+    E = cfg.capacity.max_edges
+    for s in range(S):
+        if int(num_nodes[s]) - 1 + lives[s] > E and int(n_edge_cand[s]) > E:
+            raise RuntimeError(
+                f"lane {s}: reoptimize produced {int(n_edge_cand[s])} factor "
+                f"candidates but edge capacity is {E}"
+            )
+    return states._replace(
+        poses=new_poses,
+        graph=new_graph,
+        pass_number=states.pass_number + 1,
+        first_scan_for_pass=jnp.ones((S,), bool),
+        odom_initialized=jnp.zeros((S,), bool),
+        cumulative_dist=jnp.zeros((S,)),
+    )
+
+
+def process_sessions_multipass(
+    cfg: DpgConfig,
+    lane_passes: list[list[tuple[np.ndarray, np.ndarray]]],
+    solve_bucket: int | None = None,
+    solve_method: str | None = None,
+    use_kernel: bool | None = None,
+    solve_stride: int = 1,
+    solve_gn_iterations: int | None = None,
+    solve_cg_iterations: int | None = None,
+    run_dpg: bool = True,
+) -> tuple[SlamState, list[list[int]]]:
+    """Multi-pass DPG-SLAM over S batched lanes: the full reference
+    execution model (track -> pass handshake: reoptimize -> track with
+    executeDPG per keyframe, dpg_data_runner_main.cc:30-52 +
+    dpg_slam.cc:122-140) as a sequence of batched compiled programs —
+    one tracking program per pass (with the per-keyframe vmapped DPG
+    step on pass >= 1 when run_dpg) and one vmapped reoptimize program
+    per pass boundary.
+
+    Args:
+      lane_passes: per lane, the list of (odometry, scans) streams — one
+        per pass. Every lane must have the same pass count.
+
+    Returns (stacked SlamState, per-lane per-pass keyframe counts).
+    """
+    import dataclasses as dc
+
+    n_passes = {len(p) for p in lane_passes}
+    if len(n_passes) != 1:
+        raise ValueError(f"all lanes need the same pass count, got {n_passes}")
+    P = n_passes.pop()
+    S = len(lane_passes)
+
+    states = _stack_states(cfg, S)
+    pg = cfg.pose_graph
+    kernel_ok = pg.icp_point_to_line and not pg.icp_use_ransac_rejection
+    if use_kernel is None:
+        use_kernel = jax.default_backend() in ("tpu", "axon") and kernel_ok
+    run_cfg = cfg
+    if use_kernel and kernel_ok and not pg.use_pallas_icp:
+        run_cfg = dc.replace(cfg, pose_graph=dc.replace(pg, use_pallas_icp=True))
+
+    # Engine-equivalent reoptimize solver choice (DpgSlamEngine.solve_method).
+    reopt_method = "dense" if cfg.capacity.max_nodes <= 1024 else "cg"
+
+    counts: list[list[int]] = [[] for _ in range(S)]
+    for p in range(P):
+        sessions = [lane_passes[s][p] for s in range(S)]
+        kf_odom, kf_scans, kf_valid, pcounts = pack_sessions(cfg, sessions)
+        if solve_stride > 1:
+            pad = (-kf_odom.shape[0]) % solve_stride
+            if pad:
+                kf_odom = np.concatenate(
+                    [kf_odom, np.zeros((pad,) + kf_odom.shape[1:], kf_odom.dtype)])
+                kf_scans = np.concatenate(
+                    [kf_scans, np.zeros((pad,) + kf_scans.shape[1:], kf_scans.dtype)])
+                kf_valid = np.concatenate(
+                    [kf_valid, np.zeros((pad,) + kf_valid.shape[1:], bool)])
+        for s in range(S):
+            counts[s].append(pcounts[s])
+            total = sum(counts[s])
+            if total > cfg.capacity.max_nodes:
+                # The batched path has no per-step capacity gate (the
+                # offline engine saturates; the online engine raises) —
+                # overflowing writes would clamp-corrupt the last node row.
+                raise ValueError(
+                    f"lane {s}: {total} cumulative keyframes exceed node "
+                    f"capacity {cfg.capacity.max_nodes}; raise "
+                    "CapacityParams.max_nodes or shorten the passes"
+                )
+        bucket = solve_bucket
+        if bucket is None:
+            need = max(
+                sum(counts[s][k] for k in range(p + 1)) for s in range(S)
+            )
+            b = 64
+            while b < need + 1:
+                b *= 2
+            bucket = min(b, cfg.capacity.max_nodes)
+        method = solve_method or _solve_choice(cfg, bucket)
+        states = _process_sessions_batched(
+            run_cfg, states, jnp.asarray(kf_odom), jnp.asarray(kf_scans),
+            jnp.asarray(kf_valid), method, bucket, solve_stride,
+            solve_gn_iterations, solve_cg_iterations,
+            run_dpg and p >= 1,
+        )
+        if p < P - 1:
+            states = batched_increment_pass(
+                cfg, states, solve_method=reopt_method, use_kernel=use_kernel
+            )
+    return states, counts
+
+
 class BatchedSlamServer:
     """Online multi-stream serving: S concurrent SLAM sessions on one chip.
 
@@ -493,6 +700,9 @@ class BatchedSlamServer:
         self._pend_cum = np.zeros(n_sessions)
         self.steps_executed = 0
         self.keyframes_executed = 0
+        # Per-execution wait ages (ticks each executed keyframe spent
+        # buffered) — the serving latency distribution the bench records.
+        self.wait_hist: list = []
 
     def _gate(self, odom: np.ndarray) -> np.ndarray:
         """Vectorized host keyframe gate update for one (S, 3) odom tick."""
@@ -515,6 +725,7 @@ class BatchedSlamServer:
         valid = self._pend.copy()
         if not valid.any():
             return
+        self.wait_hist.append(self._pend_age[valid].copy())
         # SNAPSHOT the pending buffers (hard-won): jnp.asarray of a numpy
         # array is ZERO-COPY on the CPU backend, and the compiled step is
         # dispatched asynchronously — passing the live self._pend_* buffers

@@ -1032,6 +1032,28 @@ def _reoptimize_sliced(
     return poses, new_sub.graph, n_edge_cand
 
 
+def _reoptimize_compaction_host(
+    cfg: DpgConfig, poses, pass_ids, n_nodes: int, nb: int, pad_unit: int = 64
+):
+    """Host-side live-pair compaction for the reoptimize sweep:
+    (compact_idx, compact_valid, n_live) — int32/bool HOST arrays of a
+    `pad_unit`-bucketed length (successive pairs first, so fast-
+    converging pairs share kernel blocks) plus the host live count.
+    Inputs are host arrays already sliced to the node bucket."""
+    K = cfg.pose_graph.max_loop_closures_per_node
+    node_mask = np.arange(nb) < n_nodes
+    valid = _reoptimize_valid_host(cfg, poses, pass_ids, node_mask)
+    live = np.nonzero(valid)[0]
+    is_succ = (live % (1 + K)) == 0
+    order = np.concatenate([live[is_succ], live[~is_succ]])
+    B = max(pad_unit, -(-len(order) // pad_unit) * pad_unit)
+    idx = np.zeros((B,), np.int32)
+    idx[: len(order)] = order
+    val = np.zeros((B,), bool)
+    val[: len(order)] = True
+    return idx, val, len(order)
+
+
 # Per-config AOT-compiled DPG step. Under jax 0.9.0, once execute_dpg's
 # implementation has also been traced inside lax.cond/scan with other
 # configs, later jit executions of it intermittently mis-marshal their
@@ -1321,23 +1343,12 @@ class DpgSlamEngine:
         return state._replace(poses=new_poses, graph=new_graph)
 
     def _reoptimize_compaction(self, poses, pass_ids, n_nodes: int, nb: int):
-        """Host-side live-pair compaction for the reoptimize sweep:
-        (compact_idx, compact_valid, n_live) — int32/bool HOST arrays of
-        a 64-bucketed length (successive pairs first, so fast-converging
-        pairs share kernel blocks) plus the host live count. Inputs are
-        host arrays already sliced to the node bucket."""
-        K = self.config.pose_graph.max_loop_closures_per_node
-        node_mask = np.arange(nb) < n_nodes
-        valid = _reoptimize_valid_host(self.config, poses, pass_ids, node_mask)
-        live = np.nonzero(valid)[0]
-        is_succ = (live % (1 + K)) == 0
-        order = np.concatenate([live[is_succ], live[~is_succ]])
-        B = max(64, -(-len(order) // 64) * 64)
-        idx = np.zeros((B,), np.int32)
-        idx[: len(order)] = order
-        val = np.zeros((B,), bool)
-        val[: len(order)] = True
-        return idx, val, len(order)
+        """Host-side live-pair compaction for the reoptimize sweep — see
+        the module-level _reoptimize_compaction_host (shared with the
+        session-batched multipass mode)."""
+        return _reoptimize_compaction_host(
+            self.config, poses, pass_ids, n_nodes, nb
+        )
 
     def _check_edge_overflow(self, n_edge_candidates: int) -> None:
         """Reoptimize can produce more factor candidates than edge capacity

@@ -270,3 +270,120 @@ def test_server_bounded_delay_quality(server_sessions):
         gt = to_anchor_frame(seq.ground_truth[ticks])
         ate = ate_rmse(traj, gt)
         assert ate < 0.3, f"lane {i} served ATE {ate}"
+
+
+# ---------------------------------------------------------------------------
+# Multi-pass batched mode (pass handshake + per-keyframe DPG)
+# ---------------------------------------------------------------------------
+
+def _dpg_small_config():
+    from dpg_slam_tpu.config import DpgParams
+
+    return DpgConfig(
+        scan=ScanParams(num_beams=256, range_max=10.0),
+        pose_graph=PoseGraphParams(
+            icp_max_points=64,
+            icp_maximum_iterations=30,
+            max_loop_closures_per_node=4,
+        ),
+        dpg=DpgParams(
+            grid_extent_cells=256,
+            occ_grid_resolution=0.1,
+            max_submap_nodes=16,
+            num_bins_for_change_detection=36,
+        ),
+        capacity=CapacityParams(max_nodes=128, max_edges=1024, max_priors=8),
+    )
+
+
+@pytest.fixture(scope="module")
+def multipass_setup():
+    """Two lanes, each the test_dpg two-pass change scenario (box removed,
+    box added) with distinct noise seeds."""
+    cfg = _dpg_small_config()
+    base = dataset.make_office_world()
+    world1 = base.add_box(2.0, 1.5, 1.0, 1.0)
+    world2 = base.add_box(-3.0, 1.5, 1.0, 1.0)
+    wps = dataset.office_loop_waypoints()
+    lanes = []
+    for s in range(2):
+        seq1 = dataset.simulate_sequence(
+            world1, wps, cfg.scan, step=0.5, seed=3 + 10 * s
+        )
+        seq2 = dataset.simulate_sequence(
+            world2, wps, cfg.scan, step=0.5, seed=4 + 10 * s
+        )
+        lanes.append([(seq1.odometry, seq1.scans), (seq2.odometry, seq2.scans)])
+    return cfg, lanes
+
+
+def _engine_two_pass(cfg, lane):
+    eng = DpgSlamEngine(cfg)
+    (o1, s1), (o2, s2) = lane
+    eng.process_sequence(o1, s1)
+    n1 = eng.num_nodes()
+    eng.increment_pass()
+    eng.process_sequence(o2, s2)
+    return eng, n1
+
+
+def test_multipass_batched_matches_engine(multipass_setup):
+    """process_sessions_multipass (batched tracking + vmapped reoptimize +
+    vmapped per-keyframe DPG) must reproduce the engine's two-pass run per
+    lane: same node counts, engine-class trajectories, and the same
+    change-detection outcome (REMOVED labels on the vanished box, ADDED on
+    the appeared one, sector deactivations in the same class)."""
+    import jax.numpy as jnp
+
+    from dpg_slam_tpu import scan as scan_mod
+
+    cfg, lanes = multipass_setup
+    states, counts = batch.process_sessions_multipass(
+        cfg, lanes, use_kernel=False
+    )
+    for i, lane in enumerate(lanes):
+        eng, n1 = _engine_two_pass(cfg, lane)
+        lane_state = batch.session_state(states, i)
+        n = int(lane_state.num_nodes)
+        assert n == eng.num_nodes(), f"lane {i} node count"
+        assert counts[i][0] + counts[i][1] == n
+        # Trajectory parity class (batched solver schedule differs from the
+        # engine's warm per-keyframe solves; reoptimize realigns both).
+        d = np.abs(np.asarray(lane_state.poses[:n]) - eng.trajectory())
+        assert d[:, :2].max() < 0.05, f"lane {i} trajectory {d[:, :2].max()}"
+        # DPG outcomes: labels on pass-0 nodes should mark REMOVED points
+        # (vanished box) and pass-1 nodes ADDED points, as the engine does.
+        lab_b = np.asarray(lane_state.labels[:n])
+        lab_e = np.asarray(eng.state.labels[:n])
+        b_removed = int((lab_b == scan_mod.REMOVED).sum())
+        e_removed = int((lab_e == scan_mod.REMOVED).sum())
+        b_added = int((lab_b == scan_mod.ADDED).sum())
+        e_added = int((lab_e == scan_mod.ADDED).sum())
+        assert b_removed > 0 and b_added > 0, (
+            f"lane {i}: batched DPG found no changes "
+            f"(removed={b_removed}, added={b_added})"
+        )
+        # Same class as the engine (thresholded decisions can flip a few
+        # points near gates; require within 2x each way).
+        for got, ref, name in (
+            (b_removed, e_removed, "removed"),
+            (b_added, e_added, "added"),
+        ):
+            assert ref / 2 <= got <= ref * 2, (
+                f"lane {i} {name}: batched {got} vs engine {ref}"
+            )
+        # Deactivations propagate the same way.
+        assert (
+            int(np.asarray(lane_state.sector_active[:n]).sum())
+            <= int(np.asarray(lane_state.node_active[:n]).sum())
+            * lane_state.sector_active.shape[-1]
+        )
+
+
+def test_multipass_capacity_check(multipass_setup):
+    cfg, lanes = multipass_setup
+    import dataclasses as dc
+
+    tight = dc.replace(cfg, capacity=dc.replace(cfg.capacity, max_nodes=48))
+    with pytest.raises(ValueError, match="cumulative keyframes exceed"):
+        batch.process_sessions_multipass(tight, lanes, use_kernel=False)
