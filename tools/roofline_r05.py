@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import dpg_slam_tpu  # noqa: F401 — sets jax_default_matmul_precision=highest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,28 +49,51 @@ def measure_peaks():
     b = jnp.ones((n, n), jnp.float32)
 
     def mm(i, a, b):
+        # Package-default precision (highest — the precision every hot
+        # matmul in this framework runs at; see README bf16 note).
         return jnp.sum((a + i * jnp.float32(1e-30)) @ b)
 
     t = amortized(mm, a, b, loop=10)
-    mxu = 2 * n ** 3 / t  # flops/s, f32 at highest precision
+    mxu = 2 * n ** 3 / t
 
-    x = jnp.ones((64, 1024, 1024), jnp.float32)
+    def mm_fast(i, a, b):
+        return jnp.sum(
+            jax.lax.dot_general(
+                a + i * jnp.float32(1e-30), b, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+            )
+        )
+
+    t = amortized(mm_fast, a, b, loop=10)
+    mxu_fast = 2 * n ** 3 / t
+
+    # VPU: a 128-FMA chain — 256 flops per 4 loaded bytes, decisively
+    # compute-bound (a 16-chain measured exactly the HBM roofline).
+    x = jnp.ones((16, 1024, 1024), jnp.float32)
+    CH = 128
 
     def fma(i, x):
         y = x + i * jnp.float32(1e-30)
-        for _ in range(16):  # long chain keeps it compute-bound in VMEM tiles
+        for _ in range(CH):
             y = y * jnp.float32(1.0000001) + jnp.float32(1e-9)
         return jnp.sum(y * jnp.float32(1e-9))
 
     t = amortized(fma, x, loop=10)
-    vpu = 16 * 2 * x.size / t  # fused mul+add = 2 flops
+    vpu = CH * 2 * x.size / t
 
-    def cp(i, x):
-        return jnp.sum(x + jnp.float32(i))  # read x once
+    big = jnp.ones((64, 2048, 2048), jnp.float32)  # 1 GB
 
-    t = amortized(cp, x, loop=10)
-    hbm = 4 * x.size / t  # bytes/s (read side)
-    return {"mxu_f32_flops": mxu, "vpu_f32_flops": vpu, "hbm_read_bytes_s": hbm}
+    def cp(i, big):
+        return jnp.sum(big * jnp.float32(1.0 + i * 1e-30))
+
+    t = amortized(cp, big, loop=5)
+    hbm = 4 * big.size / t
+    return {
+        "mxu_f32_highest_flops": mxu,
+        "mxu_default_precision_flops": mxu_fast,
+        "vpu_f32_flops": vpu,
+        "hbm_read_bytes_s": hbm,
+    }
 
 
 def icp_kernel_row(peaks):
@@ -157,7 +181,7 @@ def icp_kernel_row(peaks):
         "flops_per_block_iter": int(flops_per_block_iter),
         "sustained_flops": f"{sustained:.3e}",
         "pct_vpu_peak": round(100 * sustained / peaks["vpu_f32_flops"], 1),
-        "pct_mxu_peak": round(100 * sustained / peaks["mxu_f32_flops"], 1),
+        "pct_mxu_peak": round(100 * sustained / peaks["mxu_f32_highest_flops"], 1),
         "hbm_bytes_per_call": int(7 * B * P * 4),
         "bound": (
             "VPU issue (VMEM-resident; per-iteration HBM traffic ~0; the "
@@ -187,7 +211,7 @@ def schur_kernel_row(peaks):
         "time_ms": round(t * 1e3, 3),
         "flops_per_call": int(flops),
         "sustained_flops": f"{sustained:.3e}",
-        "pct_mxu_peak": round(100 * sustained / peaks["mxu_f32_flops"], 1),
+        "pct_mxu_peak": round(100 * sustained / peaks["mxu_f32_highest_flops"], 1),
         "bytes_per_call": int(4 * (n * n * 2 + 2 * n * rhs_n)),
         "pct_hbm_roofline": round(
             100 * (4 * (n * n * 2 + 2 * n * rhs_n) / peaks["hbm_read_bytes_s"]) / t, 1
@@ -279,7 +303,7 @@ def batched_solve_rows(peaks, S=16, NB=128, E=1536):
             "shape": f"S={S} NB={NB} E={E}",
             "time_ms": round(t_asm * 1e3, 3),
             "flops_per_call": int(f_asm),
-            "pct_mxu_peak": round(100 * (f_asm / t_asm) / peaks["mxu_f32_flops"], 1),
+            "pct_mxu_peak": round(100 * (f_asm / t_asm) / peaks["mxu_f32_highest_flops"], 1),
             "bytes_per_call": int(S * (3 * NB * E * 4 + E * 9 * 4 * 3)),
             "pct_hbm_roofline": round(
                 100 * (S * (3 * NB * E * 4 + E * 9 * 4 * 3)
@@ -291,7 +315,7 @@ def batched_solve_rows(peaks, S=16, NB=128, E=1536):
             "shape": f"S={S} NB={NB} E={E}",
             "time_ms": round(t_dh * 1e3, 3),
             "flops_per_call": int(f_dh),
-            "pct_mxu_peak": round(100 * (f_dh / t_dh) / peaks["mxu_f32_flops"], 1),
+            "pct_mxu_peak": round(100 * (f_dh / t_dh) / peaks["mxu_f32_highest_flops"], 1),
             "bound": "MXU contraction (the one flop-dense stage)",
         },
         {
@@ -299,7 +323,7 @@ def batched_solve_rows(peaks, S=16, NB=128, E=1536):
             "shape": f"S={S} n={3 * NB}",
             "time_ms": round(t_ch * 1e3, 3),
             "flops_per_call": int(f_ch),
-            "pct_mxu_peak": round(100 * (f_ch / t_ch) / peaks["mxu_f32_flops"], 1),
+            "pct_mxu_peak": round(100 * (f_ch / t_ch) / peaks["mxu_f32_highest_flops"], 1),
             "bound": "panel critical path (latency), batched over S lanes",
         },
         {
@@ -309,7 +333,7 @@ def batched_solve_rows(peaks, S=16, NB=128, E=1536):
             "flops_per_call": int(5 * (f_asm + f_dh + f_ch)),
             "pct_mxu_peak": round(
                 100 * (5 * (f_asm + f_dh + f_ch) / t_full)
-                / peaks["mxu_f32_flops"], 1),
+                / peaks["mxu_f32_highest_flops"], 1),
             "bound": "sum of stages; see per-stage rows",
         },
     ]
