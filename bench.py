@@ -600,7 +600,12 @@ def bench_kernel_smoke():
         jax.jit(lambda H, B: jsl.cho_solve(jsl.cho_factor(H, lower=True), B))(H, Bm)
     )
     spd_dev = float(jnp.max(jnp.abs(Xk - Xx)))
-    ok = bool(icp_dev < 1e-4 and spd_dev < 1e-3)
+    # Tightened round 5 (VERDICT r4 #3): the smoke tile is fixed and
+    # well-conditioned — measured devs are 2.6e-06 (icp) / 7.7e-07 (spd),
+    # so 10x headroom still catches a real kernel/lowering regression.
+    # (The bench-session parity phase keeps the looser tail bound: ITS
+    # max statistic includes early-exit iteration divergence, ~5e-4.)
+    ok = bool(icp_dev < 3e-5 and spd_dev < 1e-4)
     return ok, icp_dev, spd_dev
 
 
@@ -960,10 +965,17 @@ def _bench_config():
 # lane ATE before a config lands here.
 BATCHED_SESSIONS = 16
 BATCHED_METHOD = "lanes_chol"
-BATCHED_STRIDE = 4
+BATCHED_STRIDE = 16
 BATCHED_GN = 5
 BATCHED_CG = 24
 BATCHED_MAX_EDGES = 1536
+# The multipass (DPG) mode keeps a tighter solve cadence: the vmapped
+# change-detection step diffs grids at the CURRENT pose estimates, and
+# at stride 16 up to 15 keyframes of odometry-chained drift would feed
+# the diff (the engine solves before every DPG step). Stride 4 bounds
+# that staleness at ~1 m of travel; lane ATE + change detections are
+# recorded in the artifact either way.
+MULTIPASS_STRIDE = 4
 
 
 def _note(msg, t0):

@@ -37,20 +37,26 @@ padding steps compute and are then discarded with a masked state adopt
 (the pad fraction is small when sessions are similar lengths, and the
 alternative — a cond — would not skip work under vmap anyway).
 
-Measured cost structure on the real chip (2026-08-21, S=16, bucket 128):
-at solve-per-keyframe cadence the vmapped LM/CG solve dominates (~85% of
-step time); at the stride-4 cadence the end-to-end step is ~1.6 ms/kf
-and the isolated stages upper-bound at pre 0.98 / fused-ICP 2.04 / post
-1.09 / solve-amortized ~0.3 ms per keyframe (isolated loops exceed the
-scheduled whole — XLA overlaps the stages). Lane/cadence sweep: S=16 is
-the throughput knee (S=24: 510, S=32: 498 vs 617-703 kf/s) and stride 8
-compiles to a pathological program — S=16/stride-4 is the recorded
-optimum; the next levers are the fused-ICP packing path and the
-lock-step solve chain.
+Measured cost structure on the real chip (round 5, 2026-08-21, S=16,
+bucket 128, edge capacity right-sized to 1536): the round-4 limiter —
+jax.vmap(fg.solve)'s lock-step while_loop at ~85% of per-keyframe-
+cadence step time — is replaced by the lanes-batched unrolled LM
+(fg.solve_batched via _batched_solve; "lanes_chol" is the quality
+point: CPU-sweep lane ATE 0.0173 m vs the old dense_cg's 0.0248).
+Combined with the one-scatter factor insertion and the E=4096→1536
+right-sizing (every O(E) operand — factor selects, adopt masks,
+assemble one-hots — shrank 2.7x), the stride sweep on the chip moved
+from 628 kf/s (r4 optimum) to 1486 (stride 4) / 2316 (stride 8) /
+3107 kf/s (stride 16) at lane ATE 0.017-0.021 m — 13.6-28x the serial
+C++ baseline. S=32 matches S=16 per-keyframe (0.67 ms/kf, compute-
+bound), so S=16 remains the knee; per-lane work, not program latency,
+is now the cost.
 
-Semantics: each lane is bit-for-bit the engine's keyframe pipeline (same
-frontend, same solve); parity vs engine.process_sequence is pinned by
-tests/test_batch.py::test_batched_matches_sequential.
+Semantics: each lane runs the engine's keyframe pipeline (same
+frontend; the solve is the lanes-batched LM with the same accept/
+damping rules); parity vs engine.process_sequence is pinned by
+tests/test_batch.py::test_batched_matches_sequential, and quality by
+the lane-ATE checks in the bench and quality sweep.
 """
 
 from __future__ import annotations

@@ -67,8 +67,15 @@ def measure_peaks():
     t = amortized(mm_fast, a, b, loop=10)
     mxu_fast = 2 * n ** 3 / t
 
-    # VPU: a 128-FMA chain — 256 flops per 4 loaded bytes, decisively
-    # compute-bound (a 16-chain measured exactly the HBM roofline).
+    # VPU attainable-rate probe: the BEST sustained elementwise f32 rate
+    # any jnp-constructible chain reaches on this chip. Measured sweep
+    # (2026-08-21): 16-FMA chain on 256 MB = exactly the HBM roofline
+    # (0.7e12); 128-chain on 64 MB = 1.2e12 (best); 256/512-chains FUSE
+    # WORSE (0.35-0.37e12 — XLA splits long chains into multiple HBM
+    # passes). So this is a floor on the VPU's true issue rate, not a
+    # ceiling; kernels measured ABOVE it (the VMEM-resident ICP kernel)
+    # are by construction at or beyond XLA's own attainable vector-op
+    # rate, i.e. VPU-issue-bound.
     x = jnp.ones((16, 1024, 1024), jnp.float32)
     CH = 128
 
@@ -91,6 +98,9 @@ def measure_peaks():
     return {
         "mxu_f32_highest_flops": mxu,
         "mxu_default_precision_flops": mxu_fast,
+        # Best jnp-attainable elementwise rate — a FLOOR on the VPU's
+        # issue rate (see probe comment); kernels above it are
+        # issue-bound by construction.
         "vpu_f32_flops": vpu,
         "hbm_read_bytes_s": hbm,
     }
@@ -180,12 +190,16 @@ def icp_kernel_row(peaks):
         "block_iter_sum": int(iter_sum),
         "flops_per_block_iter": int(flops_per_block_iter),
         "sustained_flops": f"{sustained:.3e}",
-        "pct_vpu_peak": round(100 * sustained / peaks["vpu_f32_flops"], 1),
+        "pct_vpu_attainable_probe": round(
+            100 * sustained / peaks["vpu_f32_flops"], 1
+        ),
         "pct_mxu_peak": round(100 * sustained / peaks["mxu_f32_highest_flops"], 1),
         "hbm_bytes_per_call": int(7 * B * P * 4),
         "bound": (
-            "VPU issue (VMEM-resident; per-iteration HBM traffic ~0; the "
-            "(G,P,P) elementwise stage is the cost)"
+            "VPU issue: VMEM-resident, per-iteration HBM traffic ~0, and "
+            "sustained rate EXCEEDS the best jnp-constructible elementwise "
+            "probe (pct > 100 means the hand-scheduled kernel out-issues "
+            "anything XLA reaches from HBM-streaming elementwise code)"
         ),
     }
 
