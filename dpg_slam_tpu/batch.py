@@ -77,8 +77,14 @@ __all__ = [
     "keyframe_schedule",
     "pack_sessions",
     "process_sessions_batched",
+    "process_sessions_multipass",
+    "batched_increment_pass",
     "session_state",
 ]
+
+# Max lanes per vmapped execute_dpg chunk (see dpg_all in
+# _process_sessions_batched).
+_DPG_LANE_CHUNK = 2
 
 
 def keyframe_schedule(cfg: DpgConfig, odometry: np.ndarray) -> np.ndarray:
@@ -305,11 +311,37 @@ def _process_sessions_batched(
         # analog of the engine running executeDPG on every accepted node
         # once pass >= 1 (dpg_slam.cc:137-139, 865-886). Static flag: a
         # pass-0 phase compiles without any of this.
+        #
+        # Lanes are processed in chunks of <= _DPG_LANE_CHUNK via lax.map:
+        # execute_dpg's rasterization intermediates are 100s of MB per
+        # lane, and a full-width vmap at S=8/extent=512 crashed the TPU
+        # worker outright (bench round 5). Sequential chunks bound peak
+        # memory at chunk x per-lane while keeping each chunk vectorized.
         from dpg_slam_tpu.dpg import change_detection
 
-        s5, _info = jax.vmap(
-            lambda s: change_detection.execute_dpg.__wrapped__(cfg, s)
-        )(states)
+        S = valid.shape[0]
+        chunk = S
+        for c in range(min(S, _DPG_LANE_CHUNK), 0, -1):
+            if S % c == 0:
+                chunk = c
+                break
+
+        def run_chunk(st):
+            s5, _info = jax.vmap(
+                lambda s: change_detection.execute_dpg.__wrapped__(cfg, s)
+            )(st)
+            return s5
+
+        if chunk == S:
+            s5 = run_chunk(states)
+        else:
+            grouped = jax.tree_util.tree_map(
+                lambda x: x.reshape((S // chunk, chunk) + x.shape[1:]), states
+            )
+            s5g = jax.lax.map(run_chunk, grouped)
+            s5 = jax.tree_util.tree_map(
+                lambda x: x.reshape((S,) + x.shape[2:]), s5g
+            )
         return jax.tree_util.tree_map(
             functools.partial(adopt, valid), s5, states
         )

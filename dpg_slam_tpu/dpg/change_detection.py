@@ -188,6 +188,64 @@ def _lidar_poses(cfg: DpgConfig, poses: jnp.ndarray) -> jnp.ndarray:
     return geom.compose(poses, jnp.broadcast_to(jnp.asarray(laser), poses.shape))
 
 
+# Fixed-capacity compaction of committed REMOVED points before the
+# (nodes x points) sector punch-through (see execute_dpg step 6): the
+# full M*B enumeration is ~97% invalid on real steps, and the punch
+# block's (N, M*B) gather chain measured 90 ms-class on chip. Overflowing
+# points (> cap committed in ONE step) are dropped that step; their
+# sectors are re-punched on subsequent keyframes' DPG steps (labels
+# persist), so the effect self-heals.
+_PUNCH_MAX_POINTS = 1024
+
+
+def _polar_free_at(
+    cfg: DpgConfig,
+    lidar_poses: jnp.ndarray,   # (G, 3) lidar pose per source scan
+    ranges: jnp.ndarray,        # (G, B)
+    beam_mask: jnp.ndarray,     # (G, B) beams that march free space
+    points: jnp.ndarray,        # (Q, 2) map-frame query points
+    slack: float,
+) -> jnp.ndarray:
+    """(G, Q) bool: query point lies inside scan g's marched free space.
+
+    The POLAR form of the FREE-ray rasterization: a point is free when
+    its bearing's nearest beam is selected and its range is short of that
+    beam's return by `slack`. Replaces dense-grid FREE lookups — the ray
+    march's G*B*S scatter (6.5M updates, 30+ ms serialized on chip) and
+    the (G, H*W) warp gather (equally slow) — with (G, Q) arithmetic and
+    a (G, Q) beam gather at query-point counts (~10^5, sub-ms).
+
+    vs the marched grid: the march marks cells along each ray polyline,
+    so a point read FREE exactly when a ray passed through its CELL. The
+    equivalent test therefore evaluates at the point's CELL CENTER with
+    BOTH conditions: along-track (range short of the beam's return by
+    `slack`) and cross-track (the ray line passes within half a cell of
+    the center). Without the cross-track gate the full wedge between
+    beams reads free and oblique surfaces generate REMOVED false
+    positives at every angular gap (measured: 23% box-localization
+    precision vs the grid path's 60% on the test_dpg scenario);
+    evaluating at the raw point instead of its cell center loses true
+    positives the marched cell would have caught (48% vs 60%).
+    """
+    res = cfg.dpg.occ_grid_resolution
+    points = jnp.round(points / res) * res  # cell centers (march semantics)
+    rel = geom.inv_apply(lidar_poses[:, None, :], points[None, :, :])
+    r = jnp.linalg.norm(rel, axis=-1)                        # (G, Q)
+    ang = jnp.arctan2(rel[..., 1], rel[..., 0])
+    amin = cfg.scan.angle_min
+    inc = cfg.scan.angle_increment
+    B = ranges.shape[1]
+    b = jnp.round((ang - amin) / inc).astype(jnp.int32)
+    infov = (b >= 0) & (b <= B - 1)
+    bc = jnp.clip(b, 0, B - 1)
+    rg = jnp.take_along_axis(ranges, bc, axis=1)
+    mk = jnp.take_along_axis(beam_mask.astype(jnp.int8), bc, axis=1) > 0
+    # Cross-track: distance from the point to the beam's ray line.
+    dphi = ang - (amin + bc.astype(ang.dtype) * inc)
+    cross_ok = jnp.abs(dphi) * r <= 0.5 * res + 1e-6
+    return infov & mk & cross_ok & (r <= rg - slack)
+
+
 def _beam_select(cfg: DpgConfig, labels: jnp.ndarray, sector_active: jnp.ndarray):
     """Reference beam-inclusion rule (dpg_slam.cc:977-1008), include flags at
     their defaults (include_inactive=F, include_added=T, include_static=T;
@@ -330,60 +388,86 @@ def execute_dpg(cfg: DpgConfig, state):
         chain_lidar = _lidar_poses(cfg, chain_poses)
         chain_pts_map = geom.apply(chain_lidar[:, None, :], pts_laser)
 
-    chain_grids = raster.rasterize_scans(
-        chain_lidar, chain_pts_map, chain_ranges, chain_occ, chain_incl,
-        origin, extent, res, march_steps,
+    # OCCUPIED structure keeps dense cell grids (endpoint-only scatter,
+    # G*B ~ 32K updates — cheap); the FREE layer is never materialized:
+    # every FREE lookup below is the polar point test (_polar_free_at).
+    # The dense march (rasterize_scans) measured 72 ms/step at production
+    # shapes — pure serialized-scatter cost — and remains only in the
+    # visualization/snapshot paths.
+    chain_occ_grids = raster.rasterize_endpoints(
+        chain_pts_map, chain_occ, origin, extent, res
     )                                                          # (C, H, W)
+    submap_occ_grid = jnp.max(
+        raster.rasterize_endpoints(sub_pts_map, sub_occ, origin, extent, res),
+        axis=0,
+    )                                                          # (H, W)
 
-    # Contributors rasterize per node, then max-combine into ONE submap
-    # grid (== combineOccupancyGrids' OCCUPIED-priority merge, cc:931-956).
-    sub_grids = raster.rasterize_scans(
-        sub_lidar, sub_pts_map, sub_ranges, sub_occ, sub_incl,
-        origin, extent, res, march_steps,
-    )                                                          # (M, H, W)
-    submap_grid = jnp.max(sub_grids, axis=0)
-
-    # Coverage diagnostic: fraction of chain-known cells also known in the
-    # submap (getSubMapCoveringCurrPoseChain's threshold, cc:690-699).
-    chain_known = jnp.max(chain_grids, axis=0) > raster.UNKNOWN
-    sub_known = submap_grid > raster.UNKNOWN
-    coverage = jnp.sum(chain_known & sub_known) / jnp.maximum(
-        jnp.sum(chain_known), 1
+    # Coverage diagnostic (getSubMapCoveringCurrPoseChain's threshold,
+    # cc:690-699), point-sampled: fraction of the chain's included beam
+    # endpoints whose position is KNOWN to the submap (inside a
+    # contributor's observed wedge or on submap structure). The reference
+    # computes this over grid cells; sampling at the chain's own
+    # observation points preserves the warning's meaning without the
+    # dense FREE layer.
+    chain_pts_flat = chain_pts_map.reshape(C * B, 2)
+    sub_known_at_chain = jnp.any(
+        _polar_free_at(
+            cfg, sub_lidar, sub_ranges, sub_incl, chain_pts_flat, -res
+        ),
+        axis=0,
+    ).reshape(C, B)  # slack -res: "observed" reaches through the return
+    chain_sampled = (chain_incl | chain_occ) & chain_valid[:, None]
+    coverage = jnp.sum(chain_sampled & sub_known_at_chain) / jnp.maximum(
+        jnp.sum(chain_sampled), 1
     )
 
     # ---- 3. Change candidates (detectAndLabelChangesForCurrentNode,
     # cc:745-780), per point instead of per cell:
-    # ADDED: chain point whose cell is FREE in the submap.
+    # ADDED: chain point lying in submap free space.
     chain_cells = raster.world_to_cell(chain_pts_map, origin, res)   # (C, B, 2)
     chain_inw = raster.in_window(chain_cells, extent)
     ccx = jnp.clip(chain_cells[..., 0], 0, extent - 1)
     ccy = jnp.clip(chain_cells[..., 1], 0, extent - 1)
-    sub_at_chain = submap_grid[ccx, ccy]                             # (C, B)
+    # Per-contributor free view of each chain point (polar), and the
+    # combined submap verdict: free when some contributor saw through it
+    # and NO contributor's structure occupies its cell (the max-combine
+    # OCCUPIED-priority rule, cc:931-956).
+    free_votes_m = _polar_free_at(
+        cfg, sub_lidar, sub_ranges, sub_incl, chain_pts_flat, res
+    )                                                                # (M, C*B)
+    sub_free_votes = jnp.sum(free_votes_m, axis=0).reshape(C, B)
+    sub_occ_at_chain = submap_occ_grid[ccx, ccy] == raster.OCCUPIED  # (C, B)
     # Margin veto: a chain point within `change_margin_cells` of submap
     # structure is a rasterization artifact of that structure (grazing-ray
     # carving through walls), not an appeared object.
-    sub_occ_near = _dilate_occupied(submap_grid, dpg.change_margin_cells)
-    sub_free_votes = jnp.sum(sub_grids[:, ccx, ccy] == raster.FREE, axis=0)  # (C, B)
+    sub_occ_near = _dilate_occupied(submap_occ_grid, dpg.change_margin_cells)
     added_cand = (
         chain_occ
         & chain_inw
-        & (sub_at_chain == raster.FREE)
-        & (sub_free_votes >= dpg.min_free_views)
+        & (sub_free_votes >= jnp.maximum(dpg.min_free_views, 1))
+        & ~sub_occ_at_chain
         & ~sub_occ_near[ccx, ccy]
     )
 
-    # REMOVED: submap point whose cell is FREE in a chain node's grid.
+    # REMOVED: submap point lying in a chain node's free space.
     sub_cells = raster.world_to_cell(sub_pts_map, origin, res)       # (M, B, 2)
     sub_inw = raster.in_window(sub_cells, extent)
     scx = jnp.clip(sub_cells[..., 0], 0, extent - 1)
     scy = jnp.clip(sub_cells[..., 1], 0, extent - 1)
-    chain_at_sub = chain_grids[:, scx, scy]                          # (C, M, B)
-    chain_occ_near = _dilate_occupied(chain_grids, dpg.change_margin_cells)
+    sub_pts_flat = sub_pts_map.reshape(M * B, 2)
+    chain_free_at_sub = _polar_free_at(
+        cfg, chain_lidar, chain_ranges, chain_incl, sub_pts_flat, res
+    ).reshape(C, M, B)
+    chain_occ_at_sub = (
+        chain_occ_grids[:, scx, scy] == raster.OCCUPIED
+    )                                                                # (C, M, B)
+    chain_occ_near = _dilate_occupied(chain_occ_grids, dpg.change_margin_cells)
     occ_near_any = jnp.any(chain_occ_near[:, scx, scy], axis=0)      # (M, B)
     removed_cand = (
         sub_occ[None, :, :]
         & sub_inw[None, :, :]
-        & (chain_at_sub == raster.FREE)
+        & chain_free_at_sub
+        & ~chain_occ_at_sub
         & ~occ_near_any[None, :, :]
     )                                                                # (C, M, B)
 
@@ -397,7 +481,7 @@ def execute_dpg(cfg: DpgConfig, state):
     cx = jnp.where(cand_any, scx, extent)
     cy = jnp.where(cand_any, scy, extent)
     cand_cells = cand_cells.at[cx, cy].set(True, mode="drop")
-    persistent = (submap_grid == raster.OCCUPIED) & ~cand_cells
+    persistent = (submap_occ_grid == raster.OCCUPIED) & ~cand_cells
     persistent_near = _dilate_occupied(
         jnp.where(persistent, raster.OCCUPIED, raster.UNKNOWN),
         dpg.change_margin_cells,
@@ -482,9 +566,17 @@ def execute_dpg(cfg: DpgConfig, state):
     # ---- 6. Sector/node deactivation against removed points in the FOV
     # (updateNodesAndSectorStatus cc:888-911 + deactivateIntersectingSectors
     # dpg_node.cc:28-96), vectorized over (past nodes x removed points).
+    # COMPACTED first: committed REMOVED points are sparse (usually zero,
+    # at most an object's worth), while the flat M*B enumeration made the
+    # (N, M*B) gather chain below the step's co-dominant cost (90 ms
+    # class, tools/profile_dpg). top_k keeps up to _PUNCH_MAX_POINTS
+    # committed points; overflow drops are re-punched next step.
     removed_pts = sub_pts_map                                        # (M, B, 2)
-    rflat = removed_pts.reshape(M * B, 2)
-    rvalid = removed_commit.reshape(M * B)
+    rvalid_full = removed_commit.reshape(M * B)
+    R_cap = min(_PUNCH_MAX_POINTS, M * B)
+    _, top_idx = jax.lax.top_k(rvalid_full.astype(jnp.int32), R_cap)
+    rflat = removed_pts.reshape(M * B, 2)[top_idx]
+    rvalid = rvalid_full[top_idx]
 
     past_nodes = node_mask & (state.pass_ids != state.pass_number)
     all_lidar = _lidar_poses(cfg, state.poses)                       # (N, 3)

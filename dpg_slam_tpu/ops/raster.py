@@ -21,7 +21,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["UNKNOWN", "FREE", "OCCUPIED", "world_to_cell", "rasterize_scans"]
+__all__ = [
+    "UNKNOWN", "FREE", "OCCUPIED", "world_to_cell", "rasterize_scans",
+    "rasterize_endpoints",
+]
 
 UNKNOWN = np.int8(0)
 FREE = np.int8(1)
@@ -50,6 +53,32 @@ def in_window(cells: jnp.ndarray, extent: int) -> jnp.ndarray:
         & (cells[..., 1] >= 0)
         & (cells[..., 1] < extent)
     )
+
+
+def rasterize_endpoints(
+    points_map: jnp.ndarray,    # (G, B, 2) scan endpoints in map frame
+    occupied_mask: jnp.ndarray, # (G, B)
+    origin: jnp.ndarray,
+    extent: int,
+    resolution: float,
+) -> jnp.ndarray:
+    """OCCUPIED-endpoint-only rasterization: (G, extent, extent) int8 with
+    endpoint cells OCCUPIED, everything else UNKNOWN.
+
+    This is the cheap half of rasterize_scans — G*B scatter updates
+    (~32K at production shapes) instead of the FREE ray march's G*B*S
+    (~6.5M, measured 30+ ms of serialized scatter on the chip). The hot
+    change-detection path pairs these occupied grids with the POLAR
+    free-space point test (change_detection._polar_free_at), which needs
+    no dense FREE layer at all."""
+    G, B, _ = points_map.shape
+    grid = jnp.zeros((G, extent, extent), jnp.int8)
+    end_cells = world_to_cell(points_map, origin, resolution)   # (G, B, 2)
+    occ_ok = occupied_mask & in_window(end_cells, extent)
+    ox = jnp.where(occ_ok, end_cells[..., 0], extent)
+    oy = jnp.where(occ_ok, end_cells[..., 1], extent)
+    g_idx = jnp.broadcast_to(jnp.arange(G)[:, None], (G, B))
+    return grid.at[g_idx, ox, oy].max(OCCUPIED, mode="drop")
 
 
 def rasterize_scans(
