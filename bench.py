@@ -720,6 +720,8 @@ def bench_server(cfg, sessions, t_max=300):
         warm.observe(odo[t], scn[t])
     warm.flush()
 
+    import jax
+
     rows = []
     for frac, wait in ((1.0, 8), (0.5, 8), (0.25, 2)):
         srv = BatchedSlamServer(
@@ -729,6 +731,10 @@ def bench_server(cfg, sessions, t_max=300):
         for t in range(T):
             srv.observe(odo[t], scn[t])
         srv.flush()
+        # The server's step dispatches are ASYNC (by design — the host
+        # gate runs ahead); block on the final state or dt measures only
+        # enqueue (a round-5 run recorded a fantasy 14.8k kf/s this way).
+        jax.block_until_ready(srv.states.poses)
         dt = time.perf_counter() - t0
         waits = (
             np.concatenate(srv.wait_hist) if srv.wait_hist else np.zeros(1)

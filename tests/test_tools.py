@@ -80,8 +80,10 @@ def test_tpu_tools_parse():
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parent.parent / "tools"
-    for name in ("tpu_batch_experiments.py", "profile_batched_solve.py",
-                 "kbench.py", "profile2.py"):
+    for name in ("tpu_batch_experiments.py", "tpu_batch_experiments2.py",
+                 "profile_batched_solve.py", "kbench.py", "profile2.py",
+                 "roofline_r05.py", "parity_jump_study.py",
+                 "lanes_quality_sweep.py"):
         ast.parse((root / name).read_text())
 
 
