@@ -60,12 +60,17 @@ def _dilate_occupied(grid: jnp.ndarray, margin: int) -> jnp.ndarray:
     k = 2 * margin + 1
     batched = occ.ndim == 3
     x = occ if batched else occ[None]
+    # Separable max-pool: two 1-D passes (2k taps) instead of one k*k
+    # window — the square max is separable, and at production extents
+    # (C+2 grids x 1024^2) the window reads are the dilation's whole cost.
     out = jax.lax.reduce_window(
-        x,
-        np.int8(0),
-        jax.lax.max,
-        window_dimensions=(1, k, k),
-        window_strides=(1, 1, 1),
+        x, np.int8(0), jax.lax.max,
+        window_dimensions=(1, k, 1), window_strides=(1, 1, 1),
+        padding="SAME",
+    )
+    out = jax.lax.reduce_window(
+        out, np.int8(0), jax.lax.max,
+        window_dimensions=(1, 1, k), window_strides=(1, 1, 1),
         padding="SAME",
     )
     return (out if batched else out[0]).astype(bool)
@@ -198,6 +203,28 @@ def _lidar_poses(cfg: DpgConfig, poses: jnp.ndarray) -> jnp.ndarray:
 _PUNCH_MAX_POINTS = 1024
 
 
+def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(G, B) table, (G, Q) int32 -> (G, Q) table[g, idx[g, q]], computed
+    as TWO-LEVEL ONE-HOT einsums instead of take_along_axis: at these
+    shapes XLA's TPU gather lowers to a kCustom serialized path measured
+    at ~0.02M lookups/ms (the two beam-table gathers in _polar_free_at
+    were 8.5 ms EACH — 17 of the DPG step's 23 ms, jax profiler trace);
+    the factored one-hot contraction is a pair of small MXU/VPU einsums.
+    Falls back to take_along_axis when B doesn't factor."""
+    G, B = table.shape
+    L = 32
+    if B % L:
+        return jnp.take_along_axis(table, idx, axis=1)
+    H = B // L
+    t2 = table.reshape(G, H, L)
+    hi = idx // L
+    lo = idx - hi * L
+    oh_hi = (hi[..., None] == jnp.arange(H)).astype(table.dtype)   # (G,Q,H)
+    oh_lo = (lo[..., None] == jnp.arange(L)).astype(table.dtype)   # (G,Q,L)
+    tmp = jnp.einsum("gqh,ghl->gql", oh_hi, t2)
+    return jnp.einsum("gql,gql->gq", oh_lo, tmp)
+
+
 def _polar_free_at(
     cfg: DpgConfig,
     lidar_poses: jnp.ndarray,   # (G, 3) lidar pose per source scan
@@ -238,8 +265,8 @@ def _polar_free_at(
     b = jnp.round((ang - amin) / inc).astype(jnp.int32)
     infov = (b >= 0) & (b <= B - 1)
     bc = jnp.clip(b, 0, B - 1)
-    rg = jnp.take_along_axis(ranges, bc, axis=1)
-    mk = jnp.take_along_axis(beam_mask.astype(jnp.int8), bc, axis=1) > 0
+    rg = _gather_rows(ranges, bc)
+    mk = _gather_rows(beam_mask.astype(jnp.float32), bc) > 0.5
     # Cross-track: distance from the point to the beam's ray line.
     dphi = ang - (amin + bc.astype(ang.dtype) * inc)
     cross_ok = jnp.abs(dphi) * r <= 0.5 * res + 1e-6
@@ -357,8 +384,20 @@ def execute_dpg(cfg: DpgConfig, state):
     # poses are untouched). Residual registration error of 1-2 grid cells
     # is the dominant false-change source.
     if dpg.local_registration:
+        import dataclasses as _dc
+
         from dpg_slam_tpu.ops import icp as icp_mod
 
+        # The refinement starts from the SOLVED pose and is accepted only
+        # within 6 cells (below) — a 12-iteration budget converges it;
+        # the full tracking budget (30) made this call the with-DPG
+        # path's dominant cost (~24 of ~28 ms/keyframe, bench round 5).
+        reg_pg = _dc.replace(
+            cfg.pose_graph,
+            icp_maximum_iterations=min(
+                12, cfg.pose_graph.icp_maximum_iterations
+            ),
+        )
         T = dpg.local_reg_max_points
         flat_pts = sub_pts_map.reshape(M * B, 2)
         flat_ok = sub_occ.reshape(M * B)
@@ -376,7 +415,7 @@ def execute_dpg(cfg: DpgConfig, state):
             jnp.broadcast_to(tgt_pts[None], (C, T, 2)),
             jnp.broadcast_to(tgt_ok[None], (C, T)),
             chain_poses,
-            cfg.pose_graph,
+            reg_pg,
             gate_multiplier=jnp.ones((C,), jnp.float32),
         )
         # Accept only small refinements — the pose should move by at most
@@ -397,10 +436,15 @@ def execute_dpg(cfg: DpgConfig, state):
     chain_occ_grids = raster.rasterize_endpoints(
         chain_pts_map, chain_occ, origin, extent, res
     )                                                          # (C, H, W)
-    submap_occ_grid = jnp.max(
-        raster.rasterize_endpoints(sub_pts_map, sub_occ, origin, extent, res),
-        axis=0,
-    )                                                          # (H, W)
+    # ONE grid for the whole submap: per-contributor occupied grids are
+    # never consumed individually, and materializing (M, extent^2) just
+    # to max-combine was the step's single largest cost (bandwidth on
+    # 33.5 MB x ~3 passes — measured 9 ms of the 23 ms step at M=32).
+    submap_occ_grid = raster.rasterize_endpoints(
+        sub_pts_map.reshape(1, M * B, 2),
+        sub_occ.reshape(1, M * B),
+        origin, extent, res,
+    )[0]                                                       # (H, W)
 
     # Coverage diagnostic (getSubMapCoveringCurrPoseChain's threshold,
     # cc:690-699), point-sampled: fraction of the chain's included beam
@@ -597,8 +641,8 @@ def execute_dpg(cfg: DpgConfig, state):
     approx = (ang - amin) / cfg.scan.angle_increment
     i0 = jnp.clip(jnp.floor(approx).astype(jnp.int32), 0, B - 1)
     i1 = jnp.minimum(i0 + 1, B - 1)
-    r0 = jnp.take_along_axis(state.ranges, i0, axis=1)
-    r1 = jnp.take_along_axis(state.ranges, i1, axis=1)
+    r0 = _gather_rows(state.ranges, i0)
+    r1 = _gather_rows(state.ranges, i1)
     fov_range = jnp.minimum(r0, r1)                                  # (N, R)
     # Require clear punch-through: the removed point must be closer than
     # the node's own return by a real margin, not a noise-level tie
