@@ -315,27 +315,16 @@ def main(argv=None):
 
     phys = _os.cpu_count() or 1
 
-    # AOT-compile each (solver, mesh, budget) variant and call the pinned
-    # executable. The iso-accuracy budget search multiplies jit configs of
-    # shard_map programs in one process, which trips this environment's
-    # jax-0.9 shared-dispatch buffer corruption (documented at
-    # engine._dpg_step_fn): later dispatches return GARBAGE poses (a
-    # 390 m "divergence" reproduced only in-harness; standalone runs of
-    # the same call converge to 0.005 m at every budget).
-    _aot_cache = {}
-
+    # Plain jitted calls, ONE solver family per process (--family): mixing
+    # both families' budget variants in one process returns GARBAGE poses
+    # from the later family (this environment's jax-0.9 shared-dispatch
+    # buffer corruption, documented at engine._dpg_step_fn; a 390 m
+    # "divergence" reproduced only in-process — standalone runs of the
+    # identical call converge to 0.005 m). AOT lower().compile() was
+    # tried as a defense and ALSO returned garbage under the multi-budget
+    # search; process isolation is the one mechanism that held.
     def _aot(fn, key, *args, **kwargs):
-        c = _aot_cache.get(key)
-        if c is None:
-            c = fn.lower(*args, **kwargs).compile()
-            _aot_cache[key] = c
-        try:
-            return c(*args, **kwargs)
-        except TypeError:
-            # This jax's Compiled.__call__ wants ONLY the dynamic args:
-            # every use here passes the (static) mesh first and all other
-            # statics as kwargs, so dynamics = args[1:].
-            return c(*args[1:])
+        return fn(*args, **kwargs)
     N = args.nodes
     g, init, mask, gt = build_big_graph(N, N)
     results = {"nodes": N, "edges": int(g.num_edges), "backend": jax.default_backend()}

@@ -61,18 +61,19 @@ def _dilate_occupied(grid: jnp.ndarray, margin: int) -> jnp.ndarray:
     batched = occ.ndim == 3
     x = occ if batched else occ[None]
     # Separable max-pool: two 1-D passes (2k taps) instead of one k*k
-    # window — the square max is separable, and at production extents
-    # (C+2 grids x 1024^2) the window reads are the dilation's whole cost.
-    out = jax.lax.reduce_window(
-        x, np.int8(0), jax.lax.max,
-        window_dimensions=(1, k, 1), window_strides=(1, 1, 1),
-        padding="SAME",
-    )
-    out = jax.lax.reduce_window(
-        out, np.int8(0), jax.lax.max,
-        window_dimensions=(1, 1, k), window_strides=(1, 1, 1),
-        padding="SAME",
-    )
+    # window. Both passes run along the SUBLANE axis with a transpose in
+    # between — a lane-axis reduce_window measured 5x the sublane one
+    # (2.0 vs 0.4 ms at 7 grids x 1024^2), and the transposes are plain
+    # bandwidth.
+    def pool_rows(t):
+        return jax.lax.reduce_window(
+            t, np.int8(0), jax.lax.max,
+            window_dimensions=(1, k, 1), window_strides=(1, 1, 1),
+            padding="SAME",
+        )
+
+    out = pool_rows(x)
+    out = jnp.swapaxes(pool_rows(jnp.swapaxes(out, 1, 2)), 1, 2)
     return (out if batched else out[0]).astype(bool)
 
 
