@@ -311,7 +311,6 @@ def execute_dpg(cfg: DpgConfig, state):
     res = dpg.occ_grid_resolution
     B = cfg.scan.num_beams
     N = state.poses.shape[0]
-    march_steps = int(round(cfg.scan.range_max / res))
 
     idx = jnp.arange(N)
     node_mask = state.node_mask
