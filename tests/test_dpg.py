@@ -287,3 +287,89 @@ def test_coverage_growth_stops_at_threshold():
     # satisfy the 0.3 threshold; the greedy loop must not pick all 3.
     assert int(info.num_contributors) < 3
     assert float(info.coverage) >= 0.3
+
+
+# ---------------------------------------------------------------------------
+# Round-5 primitives: one-hot gather, endpoint raster, polar free test
+# ---------------------------------------------------------------------------
+
+def test_gather_rows_matches_take_along():
+    """_gather_rows (two-level one-hot einsum gather) must be exact vs
+    take_along_axis, including the non-factoring fallback."""
+    from dpg_slam_tpu.dpg.change_detection import _gather_rows
+
+    rng = np.random.default_rng(0)
+    for B in (256, 1024, 100):  # 100: fallback path (not divisible by 32)
+        table = jnp.asarray(rng.normal(0, 5, (7, B)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, B, (7, 333)), jnp.int32)
+        got = np.asarray(_gather_rows(table, idx))
+        ref = np.asarray(jnp.take_along_axis(table, idx, axis=1))
+        np.testing.assert_array_equal(got, ref, err_msg=f"B={B}")
+
+
+def test_rasterize_endpoints_matches_scans_occupied_layer():
+    """rasterize_endpoints must equal rasterize_scans' OCCUPIED cells
+    (and mark nothing FREE)."""
+    rng = np.random.default_rng(1)
+    G, B = 3, 64
+    laser = jnp.asarray(rng.uniform(-1, 1, (G, 3)), jnp.float32)
+    pts = jnp.asarray(rng.uniform(-3, 3, (G, B, 2)), jnp.float32)
+    ranges = jnp.asarray(rng.uniform(0.5, 4, (G, B)), jnp.float32)
+    occ = jnp.asarray(rng.random((G, B)) > 0.3)
+    origin = jnp.array([-3.2, -3.2])
+    full = np.asarray(
+        raster.rasterize_scans(
+            laser, pts, ranges, occ, jnp.zeros((G, B), bool), origin, 64, 0.1, 40
+        )
+    )
+    endp = np.asarray(raster.rasterize_endpoints(pts, occ, origin, 64, 0.1))
+    np.testing.assert_array_equal(endp == 2, full == 2)
+    assert not (endp == 1).any()
+
+
+def test_polar_free_matches_marched_grid():
+    """_polar_free_at's verdict at a point must match the marched FREE
+    grid at the point's cell, away from quantization boundaries."""
+    from dpg_slam_tpu.dpg.change_detection import _polar_free_at
+
+    cfg = dpg_config()
+    B = cfg.scan.num_beams
+    res = cfg.dpg.occ_grid_resolution
+    rng = np.random.default_rng(2)
+    ranges = jnp.asarray(rng.uniform(3.0, 8.0, (1, B)), jnp.float32)
+    laser = jnp.zeros((1, 3), jnp.float32)
+    pts_l = scan.points_in_laser_frame(ranges, cfg.scan)
+    origin = jnp.array([-12.8, -12.8])
+    marched = np.asarray(
+        raster.rasterize_scans(
+            laser, pts_l, ranges, jnp.ones((1, B), bool), jnp.ones((1, B), bool),
+            origin, 256, res, 100,
+        )[0]
+    )
+    # Query at cell centers well inside the free wedges and beyond them.
+    q = jnp.asarray(rng.uniform(-6, 6, (4000, 2)), jnp.float32)
+    qc = jnp.round(q / res) * res
+    free = np.asarray(
+        _polar_free_at(cfg, laser, ranges, jnp.ones((1, B), bool), q, res)[0]
+    )
+    cells = np.asarray(raster.world_to_cell(qc, origin, res))
+    inw = (cells >= 0).all(1) & (cells < 256).all(1)
+    grid_free = np.zeros(len(q), bool)
+    grid_free[inw] = marched[cells[inw, 0], cells[inw, 1]] == 1
+    # Exclude points whose cell-center range is within 2*res of the beam
+    # return or whose cross-track distance is near the half-cell boundary
+    # (both sides quantize differently there by construction).
+    rel = np.asarray(qc)
+    r = np.linalg.norm(rel, axis=1)
+    ang = np.arctan2(rel[:, 1], rel[:, 0])
+    inc = cfg.scan.angle_increment
+    b = np.clip(np.round((ang - cfg.scan.angle_min) / inc).astype(int), 0, B - 1)
+    rg = np.asarray(ranges[0])[b]
+    dphi = ang - (cfg.scan.angle_min + b * inc)
+    boundary = (
+        (np.abs(r - rg) < 2 * res)
+        | (np.abs(np.abs(dphi) * r - 0.5 * res) < 0.5 * res)
+    )
+    sel = inw & ~boundary
+    agree = (free[sel] == grid_free[sel]).mean()
+    assert agree > 0.97, f"polar vs marched agreement {agree:.3f}"
