@@ -1,6 +1,9 @@
-"""Stage-level on-chip profile of execute_dpg (the 78 ms/step measured by
-bench_dpg round 5): which stage is the hog — raster scatter, local
-re-registration ICP, candidate gathers, or the sector punch-through.
+"""Stage-level on-chip profile of the ROUND-4 (grid-marching) execute_dpg
+stages — the measurements (raster scatter 72 ms, punch-through gather
+chain 90 ms class) that motivated the round-5 polar redesign. Kept as
+provenance; the current hot path no longer runs the dense FREE march
+(see change_detection._polar_free_at) and is best profiled with
+jax.profiler.trace (works over the axon relay — see CLAUDE.md lore).
 
 Run: timeout 570 python -u tools/profile_dpg.py
 """
