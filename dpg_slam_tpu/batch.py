@@ -83,8 +83,12 @@ __all__ = [
 ]
 
 # Max lanes per vmapped execute_dpg chunk (see dpg_all in
-# _process_sessions_batched).
-_DPG_LANE_CHUNK = 2
+# _process_sessions_batched). History: the r5 GRID-marching DPG crashed
+# the TPU worker at full-width vmap (100s-of-MB march tensors per lane;
+# chunk 2 was the containment); the polar redesign shrank per-lane
+# memory enough that full width is safe and 5% faster (324 vs 309 kf/s
+# multipass, measured).
+_DPG_LANE_CHUNK = 8
 
 
 def keyframe_schedule(cfg: DpgConfig, odometry: np.ndarray) -> np.ndarray:
