@@ -976,7 +976,7 @@ def _bench_config():
 # lane ATE before a config lands here.
 BATCHED_SESSIONS = 16
 BATCHED_METHOD = "lanes_chol"
-BATCHED_STRIDE = 16
+BATCHED_STRIDE = 32
 BATCHED_GN = 5
 BATCHED_CG = 24
 BATCHED_MAX_EDGES = 1536
