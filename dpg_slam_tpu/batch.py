@@ -45,12 +45,14 @@ cadence step time — is replaced by the lanes-batched unrolled LM
 point: CPU-sweep lane ATE 0.0173 m vs the old dense_cg's 0.0248).
 Combined with the one-scatter factor insertion and the E=4096→1536
 right-sizing (every O(E) operand — factor selects, adopt masks,
-assemble one-hots — shrank 2.7x), the stride sweep on the chip moved
-from 628 kf/s (r4 optimum) to 1486 (stride 4) / 2316 (stride 8) /
-3107 kf/s (stride 16) at lane ATE 0.017-0.021 m — 13.6-28x the serial
-C++ baseline. S=32 matches S=16 per-keyframe (0.67 ms/kf, compute-
-bound), so S=16 remains the knee; per-lane work, not program latency,
-is now the cost.
+assemble one-hots — shrank 2.7x), the stride sweep (staged-array
+harness, bench_tpu_batched) moved from 628 kf/s (r4 optimum) to
+5,297 / 7,426 / 8,550 kf/s at strides 16/32/64, lane ATE
+0.0182/0.0219/0.0335 — stride 32 is the recorded quality-preserving
+knee at ~67-72x the serial C++ baseline (stride 64 crosses r4's
+0.0301 quality bar and is rejected). S=32 lanes match S=16
+per-keyframe (0.67 ms/kf, compute-bound), so S=16 remains the lane
+knee; per-lane work, not program latency, is now the cost.
 
 Semantics: each lane runs the engine's keyframe pipeline (same
 frontend; the solve is the lanes-batched LM with the same accept/
