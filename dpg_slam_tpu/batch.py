@@ -52,7 +52,12 @@ harness, bench_tpu_batched) moved from 628 kf/s (r4 optimum) to
 knee at ~67-72x the serial C++ baseline (stride 64 crosses r4's
 0.0301 quality bar and is rejected). S=32 lanes match S=16
 per-keyframe (0.67 ms/kf, compute-bound), so S=16 remains the lane
-knee; per-lane work, not program latency, is now the cost.
+knee; per-lane work, not program latency, is now the cost. At the
+stride-32 record the solve share is down to 37% (frontend-only
+ablation: 11,719 kf/s vs 7,426 full — r4's stride-1 solve was 85%);
+the vmapped frontend chain (prepare-cloud, candidate top-K, fused ICP
+kernel, factor packing, adopt masks) at ~0.085 ms/kf is the next
+lever.
 
 Semantics: each lane runs the engine's keyframe pipeline (same
 frontend; the solve is the lanes-batched LM with the same accept/
