@@ -275,10 +275,18 @@ def _process_sessions_batched(
     """
     observe_odom = eng_mod._observe_odometry.__wrapped__
     K1 = 1 + cfg.pose_graph.max_loop_closures_per_node
+    N_cap = states.poses.shape[1]
 
     def frontend(states, odom, ranges, valid):
         S = odom.shape[0]
         s1 = jax.vmap(lambda s, o: observe_odom(cfg, s, o))(states, odom)
+        # Invalid (padding) lanes: point the node-row write index out of
+        # bounds so every _write_node scatter DROPS (verified OOB-drop
+        # semantics) — the big node arrays then need no adopt select at
+        # all (see adopt_frontend).
+        s1 = s1._replace(
+            num_nodes=jnp.where(valid, s1.num_nodes, N_cap)
+        )
         s2, icp_in, tgt_idx, tgt_valid, est_pose, new_idx = jax.vmap(
             lambda s, r: eng_mod._keyframe_frontend_pre(cfg, s, r)
         )(s1, ranges)
@@ -306,6 +314,31 @@ def _process_sessions_batched(
     def adopt(valid, new, old):
         v = valid.reshape(valid.shape + (1,) * (new.ndim - 1))
         return jnp.where(v, new, old)
+
+    def adopt_frontend(valid, new, old):
+        """Frontend-step state adoption WITHOUT selecting the big node
+        arrays: the frontend writes ranges/labels/cloud/... ONLY at row
+        num_nodes, and invalid lanes' writes were dropped via the OOB
+        index above — so `new` already equals `old` there for invalid
+        lanes. Selecting every leaf cost ~40 MB x 3 of traffic per
+        step; only the graph + scalars need the mask (invalid lanes'
+        garbage factor writes and bookkeeping must be discarded)."""
+        def sel(n, o):
+            v = valid.reshape(valid.shape + (1,) * (n.ndim - 1))
+            return jnp.where(v, n, o)
+
+        return new._replace(
+            graph=jax.tree_util.tree_map(sel, new.graph, old.graph),
+            num_nodes=sel(new.num_nodes, old.num_nodes),
+            prev_odom=sel(new.prev_odom, old.prev_odom),
+            odom_at_last_node=sel(new.odom_at_last_node, old.odom_at_last_node),
+            cumulative_dist=sel(new.cumulative_dist, old.cumulative_dist),
+            odom_initialized=sel(new.odom_initialized, old.odom_initialized),
+            first_scan_for_pass=sel(
+                new.first_scan_for_pass, old.first_scan_for_pass
+            ),
+            pass_number=sel(new.pass_number, old.pass_number),
+        )
 
     def solve_all(states):
         if solve_method.startswith("lanes"):
@@ -361,11 +394,12 @@ def _process_sessions_batched(
         def step(states, inp):
             odom, ranges, valid = inp  # (S, 3), (S, B), (S,)
             s3 = frontend(states, odom, ranges, valid)
-            s4 = solve_all(s3)
-            # Padding steps: compute happened, the state update is dropped.
-            states = jax.tree_util.tree_map(
-                functools.partial(adopt, valid), s4, states
-            )
+            # Padding steps: compute happened, the state update is dropped
+            # (big node arrays need no select — see adopt_frontend).
+            states = adopt_frontend(valid, s3, states)
+            s4 = solve_all(states)
+            # The solve changes ONLY poses; select just that leaf.
+            states = states._replace(poses=adopt(valid, s4.poses, states.poses))
             if run_dpg:
                 states = dpg_all(states, valid)
             return states, None
@@ -380,17 +414,16 @@ def _process_sessions_batched(
         odom_g, ranges_g, valid_g = inp  # (stride, S, ...)
         for k in range(solve_stride):
             s3 = frontend(states, odom_g[k], ranges_g[k], valid_g[k])
-            states = jax.tree_util.tree_map(
-                functools.partial(adopt, valid_g[k]), s3, states
-            )
+            states = adopt_frontend(valid_g[k], s3, states)
             if run_dpg:
                 states = dpg_all(states, valid_g[k])
         # One solve per group; a group with zero live keyframes in a lane
-        # still solves (idempotent on an already-solved lane).
+        # still solves (idempotent on an already-solved lane). The solve
+        # changes ONLY poses.
         solved = solve_all(states)
         any_valid = jnp.any(valid_g, axis=0)  # (S,)
-        states = jax.tree_util.tree_map(
-            functools.partial(adopt, any_valid), solved, states
+        states = states._replace(
+            poses=adopt(any_valid, solved.poses, states.poses)
         )
         return states, None
 
@@ -419,7 +452,11 @@ def _batched_keyframe_step_impl(
     observe_odom = eng_mod._observe_odometry.__wrapped__
     K1 = 1 + cfg.pose_graph.max_loop_closures_per_node
     S = odom.shape[0]
+    N_cap = states.poses.shape[1]
     s1 = jax.vmap(lambda s, o: observe_odom(cfg, s, o))(states, odom)
+    # Non-executing lanes: OOB node-row index drops their array writes
+    # (same trick as the offline program's adopt_frontend).
+    s1 = s1._replace(num_nodes=jnp.where(valid, s1.num_nodes, N_cap))
     s2, icp_in, tgt_idx, tgt_valid, est_pose, new_idx = jax.vmap(
         lambda s, r: eng_mod._keyframe_frontend_pre(cfg, s, r)
     )(s1, ranges)
@@ -442,18 +479,30 @@ def _batched_keyframe_step_impl(
             cfg, s, r, ti, tv, ep, ni
         )
     )(s2, res, tgt_idx, tgt_valid, est_pose, new_idx)
+    def adopt(new, old):
+        v = valid.reshape(valid.shape + (1,) * (new.ndim - 1))
+        return jnp.where(v, new, old)
+
+    # Graph + scalars select; big node arrays already correct (OOB drop).
+    s3 = s3._replace(
+        graph=jax.tree_util.tree_map(adopt, s3.graph, states.graph),
+        num_nodes=adopt(s3.num_nodes, states.num_nodes),
+        prev_odom=adopt(s3.prev_odom, states.prev_odom),
+        odom_at_last_node=adopt(s3.odom_at_last_node, states.odom_at_last_node),
+        cumulative_dist=adopt(s3.cumulative_dist, states.cumulative_dist),
+        odom_initialized=adopt(s3.odom_initialized, states.odom_initialized),
+        first_scan_for_pass=adopt(
+            s3.first_scan_for_pass, states.first_scan_for_pass
+        ),
+        pass_number=adopt(s3.pass_number, states.pass_number),
+    )
     if solve_method.startswith("lanes"):
         s4 = _batched_solve(cfg, s3, solve_method, solve_bucket)
     else:
         s4 = jax.vmap(
             lambda s: eng_mod._keyframe_solve(cfg, s, solve_method, solve_bucket)
         )(s3)
-
-    def adopt(new, old):
-        v = valid.reshape(valid.shape + (1,) * (new.ndim - 1))
-        return jnp.where(v, new, old)
-
-    return jax.tree_util.tree_map(adopt, s4, states)
+    return s3._replace(poses=adopt(s4.poses, s3.poses))
 
 
 # Per-(config, method, bucket, S) AOT-compiled server step. Same jax
