@@ -54,7 +54,8 @@ knee at ~67-72x the serial C++ baseline (stride 64 crosses r4's
 per-keyframe (0.67 ms/kf, compute-bound), so S=16 remains the lane
 knee; per-lane work, not program latency, is now the cost. At the
 stride-32 record the solve share is down to 37% (frontend-only
-ablation: 11,719 kf/s vs 7,426 full — r4's stride-1 solve was 85%);
+ablation: 11,719 kf/s vs 7,426 full (7,701 after the lean-adopt
+pass below) — r4's stride-1 solve was 85%);
 the vmapped frontend chain (prepare-cloud, candidate top-K, fused ICP
 kernel, factor packing, adopt masks) at ~0.085 ms/kf is the next
 lever.
